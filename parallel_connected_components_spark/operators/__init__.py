@@ -1,0 +1,29 @@
+from .graph import (  # noqa: F401
+    audit_id_collisions,
+    canonicalize,
+    degree_stats,
+    degrees,
+    detect_hubs,
+    edges_from_pages,
+    symmetrize,
+    vertices_from_pages,
+    vertices_of,
+)
+from .cc import (  # noqa: F401
+    cc_alternating_stars,
+    cc_label_propagation,
+    cc_two_phase,
+    count_components,
+    normalize_labels,
+    union_find_oracle,
+)
+from .pagerank import pagerank, pagerank_numpy_oracle  # noqa: F401
+from .lpa import label_propagation_communities  # noqa: F401
+from .triangles import triangle_count, triangles_per_vertex  # noqa: F401
+from .stats import (  # noqa: F401
+    component_sizes,
+    component_stats,
+    exclude_giant_component,
+    giant_component_sample,
+    top_components,
+)

@@ -1,0 +1,341 @@
+"""Connected components — three Spark-native algorithms + the oracle.
+
+The reference implements ~15 CC variants over 5 backends (SURVEY.md §2.4);
+they collapse into three genuinely distinct dataflow strategies here:
+
+1. :func:`cc_alternating_stars` — large-star/small-star (Kiveris et al.,
+   "Connected Components in MapReduce and Beyond"), the DataFrame
+   descendant of Shiloach-Vishkin's hook+shortcut
+   (/root/reference/src/cc_openmp.c:312-379): pointer doubling as
+   alternating groupBy-min + join rounds, O(log n) rounds expected.
+2. :func:`cc_two_phase` — per-partition local union-find inside
+   ``mapInPandas`` (path-halving + union-by-min, the reference's oracle
+   algorithm /root/reference/src/cc_sequential.c:264-368, run on each
+   partition's edge batch) contracting the graph by ~the average local
+   component size, then alternating stars on the contracted remainder.
+   This is the Spark blueprint of the MPI distributed union-find
+   (/root/reference/src/mpi/cc_mpi.c:2018-2341): local UF per rank,
+   batched exchange of cross-rank (root,root) edges, iterate.
+3. :func:`cc_label_propagation` — min-label propagation with the
+   frontier/delta optimization (queue + in_queue bitmap in the
+   reference, /root/reference/src/cc_sequential.c:75-162; here a
+   semi-join of edges against the changed-vertex set).
+
+All three converge to identical labels under the min-vertex-id convention
+(union-by-minimum /root/reference/src/cc_sequential.c:325-331) — the
+reference's cross-algorithm differential test
+(/root/reference/benchmarks/benchmark_sequential.c:81-98) is reproduced in
+tests/ by asserting pairwise equality plus equality with
+:func:`union_find_oracle`.
+
+Skew: hub vertices make some neighborhoods enormous. The groupBy-min
+aggregations are safe (partial aggregation bounds reduce-side rows per key
+by the map-task count); the joins are covered by AQE skew-join splitting
+(session.py). The Afforest giant-component trick
+(/root/reference/src/cc_openmp.c:596-613) generalizes to the frontier:
+resolved regions leave the frontier and stop shuffling; ``prune_every``
+additionally drops intra-component edges wholesale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.runner import FixpointRunner
+from .graph import canonicalize, vertices_of
+
+
+# --------------------------------------------------------------------------
+# Oracle: sequential union-find, port of the reference's baseline semantics
+# (path halving /root/reference/src/cc_sequential.c:264-271, union-by-min
+# :325-331, final compression :345-349). Driver-side, test-scale only.
+# --------------------------------------------------------------------------
+
+def union_find_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = parent.setdefault(x, x)
+        while parent[root] != root:
+            parent[root] = parent[parent[root]]  # path halving
+            root = parent[root]
+        parent[x] = root
+        return root
+
+    for u, v in edges:
+        if u == v:
+            continue
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo  # union by minimum id
+    return {x: find(x) for x in parent}
+
+
+# --------------------------------------------------------------------------
+# Shared pieces
+# --------------------------------------------------------------------------
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    """(count, XOR of per-edge hashes) — O(1)-state set-equality check for
+    the edge-rewriting algorithms (the reference's `changed` OR-reduction,
+    /root/reference/src/cc_openmp.c:92-94, generalized to set equality).
+    XOR, not SUM: order-invariant and can't overflow under ANSI mode;
+    sound because the edge set is deduped (no even-multiplicity cancel)."""
+    row = edges.agg(
+        F.count("*").alias("c"),
+        F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+    ).collect()[0]
+    return (row["c"], row["h"] or 0)
+
+
+def labels_from_star_edges(star_edges: DataFrame, vertices: DataFrame | None) -> DataFrame:
+    """Star edges (child > root) → labels(vertex, label); roots label
+    themselves; vertices absent from any edge (isolated) label themselves."""
+    labels = star_edges.select(
+        F.col("src").alias("vertex"), F.col("dst").alias("label")
+    ).union(
+        star_edges.select(F.col("dst").alias("vertex"), F.col("dst").alias("label"))
+    ).groupBy("vertex").agg(F.min("label").alias("label"))
+    if vertices is not None:
+        labels = (
+            vertices.select(F.col("id").alias("vertex"))
+            .join(labels, "vertex", "left")
+            .select(
+                "vertex", F.coalesce("label", F.col("vertex")).alias("label")
+            )
+        )
+    return labels
+
+
+def normalize_labels(labels: DataFrame) -> DataFrame:
+    """Canonicalize arbitrary component representatives to min-vertex-id —
+    the reference's "same components, different labels is VALID"
+    equivalence (/root/reference/benchmarks/benchmark_openmp.c:114-127)
+    made exact (SURVEY.md §1.2)."""
+    rep = labels.groupBy("label").agg(F.min("vertex").alias("canon"))
+    return labels.join(rep, "label").select("vertex", F.col("canon").alias("label"))
+
+
+def count_components(labels: DataFrame) -> int:
+    """count_unique_labels (/root/reference/src/cc_common.c:7-38) — the
+    partial-distinct + merge physical plan is exactly the reference's
+    per-thread hash-set + bitmap merge
+    (/root/reference/src/pthreads/afforest_simple.c:441-517)."""
+    return labels.select(F.countDistinct("label")).collect()[0][0]
+
+
+# --------------------------------------------------------------------------
+# 1. Alternating large-star / small-star
+# --------------------------------------------------------------------------
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
+    Input/output invariant: src > dst on every pair."""
+    nbrs = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = nbrs.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    out = (
+        nbrs.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return out
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller neighbor of u (and u itself) to the min of
+    the smaller neighborhood. Input oriented src > dst."""
+    m = edges.groupBy("src").agg(F.min("dst").alias("m"))
+    to_nbrs = (
+        edges.join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    to_self = m.select(F.col("src"), F.col("m").alias("dst"))
+    return (
+        to_nbrs.union(to_self)
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def cc_alternating_stars(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+    max_iterations: int = 50,
+    resume: bool = False,
+) -> tuple[DataFrame, FixpointRunner]:
+    """→ (labels(vertex, label=min id of component), runner with metrics)."""
+    init = canonicalize(edges).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )  # orient src > dst
+    runner = FixpointRunner(
+        spark, "cc_stars", checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
+    )
+    prev_sum = {"v": None}
+
+    def step(state: DataFrame, it: int) -> DataFrame:
+        return _small_star(_large_star(state))
+
+    def converged(new_state: DataFrame, it: int):
+        chk = _edge_checksum(new_state)
+        changed = 0 if chk == prev_sum["v"] else 1
+        prev_sum["v"] = chk
+        return changed, {"edges": chk[0]}
+
+    final_edges = runner.run(init, step, converged, resume=resume)
+    labels = labels_from_star_edges(final_edges, vertices)
+    return labels, runner
+
+
+# --------------------------------------------------------------------------
+# 2. Two-phase: partition-local union-find contraction + stars
+# --------------------------------------------------------------------------
+
+def _local_uf_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-partition union-find over the partition's edge batch; emits the
+    local spanning star (vertex > local_root pairs). Pure function of the
+    partition content — safe under task retry (deterministic for a given
+    partition assignment; the downstream star rounds make the final labels
+    independent of partitioning entirely, verified by tests)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = parent.setdefault(x, x)
+        while parent[root] != root:
+            parent[root] = parent[parent[root]]
+            root = parent[root]
+        parent[x] = root
+        return root
+
+    for pdf in batches:
+        for u, v in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+            if u == v:
+                continue
+            ru, rv = find(int(u)), find(int(v))
+            if ru != rv:
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+    rows = [(x, find(x)) for x in parent]
+    out = pd.DataFrame(rows, columns=["src", "dst"])
+    yield out[out["src"] != out["dst"]]
+
+
+def cc_two_phase(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    max_iterations: int = 50,
+) -> tuple[DataFrame, FixpointRunner]:
+    """Local-UF contraction, then alternating stars on the contracted
+    graph. Contraction output is ≤ (#distinct vertices per partition)
+    rows per partition regardless of edge count, so the star rounds see a
+    graph smaller by the average local component size — the same
+    work-split as the MPI UF (local pass, then only cross-partition
+    (root, root) edges travel, /root/reference/src/mpi/cc_mpi.c:2018-2341).
+    """
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    canon = canonicalize(edges)
+    contracted = (
+        canon.repartition(n, "src")
+        .mapInPandas(_local_uf_partition, schema="src long, dst long")
+        .dropDuplicates(["src", "dst"])
+    )
+    labels, runner = cc_alternating_stars(
+        spark,
+        contracted,
+        vertices=None,
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_iterations,
+    )
+    # Contraction preserves the vertex set (every endpoint of `canon`
+    # appears in the contracted output), so labels already cover all
+    # non-isolated vertices; attach isolated ones if a vertex table came.
+    if vertices is not None:
+        labels = (
+            vertices.select(F.col("id").alias("vertex"))
+            .join(labels, "vertex", "left")
+            .select("vertex", F.coalesce("label", F.col("vertex")).alias("label"))
+        )
+    return labels, runner
+
+
+# --------------------------------------------------------------------------
+# 3. Min-label propagation with frontier
+# --------------------------------------------------------------------------
+
+def cc_label_propagation(
+    spark: SparkSession,
+    edges_sym: DataFrame,
+    vertices: DataFrame | None = None,
+    frontier: bool = True,
+    checkpoint_dir: str | None = None,
+    max_iterations: int = 200,
+    resume: bool = False,
+    prune_every: int = 0,
+) -> tuple[DataFrame, FixpointRunner]:
+    """Jacobi-style min-label propagation
+    (label_propagation_sync_omp, /root/reference/src/cc_openmp.c:38-142;
+    double-buffering is free — DataFrames are immutable).
+
+    ``frontier=True`` sends messages only from vertices whose label
+    changed last round (the reference's queue-based delta iteration,
+    /root/reference/src/cc_sequential.c:131-161). ``prune_every=k`` drops
+    edges whose endpoints share a label every k rounds — the
+    giant-component exclusion (/root/reference/src/cc_openmp.c:596-613)
+    without the sampling step.
+    """
+    verts = vertices.select(F.col("id")) if vertices is not None else vertices_of(edges_sym)
+    init = verts.select(
+        F.col("id").alias("vertex"),
+        F.col("id").alias("label"),
+        F.lit(True).alias("changed"),
+    )
+    runner = FixpointRunner(
+        spark, "cc_lp", checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
+    )
+    live_edges = {"df": edges_sym.select("src", "dst")}
+
+    def step(state: DataFrame, it: int) -> DataFrame:
+        senders = state.filter("changed") if frontier else state
+        msgs = (
+            live_edges["df"]
+            .join(senders.select(F.col("vertex").alias("src"), "label"), "src")
+            .select(F.col("dst").alias("vertex"), "label")
+        )
+        cand = msgs.groupBy("vertex").agg(F.min("label").alias("cand"))
+        return (
+            state.select("vertex", "label")
+            .join(cand, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(F.col("label"), F.coalesce("cand", F.col("label"))).alias("label"),
+                (F.coalesce("cand", F.col("label")) < F.col("label")).alias("changed"),
+            )
+        )
+
+    def converged(new_state: DataFrame, it: int):
+        changed = new_state.filter("changed").count()
+        if prune_every and changed and (it + 1) % prune_every == 0:
+            lab = new_state.select("vertex", "label")
+            e = (
+                live_edges["df"]
+                .join(lab.withColumnsRenamed({"vertex": "src", "label": "_ls"}), "src")
+                .join(lab.withColumnsRenamed({"vertex": "dst", "label": "_ld"}), "dst")
+                .filter(F.col("_ls") != F.col("_ld"))
+                .select("src", "dst")
+            )
+            live_edges["df"] = e.localCheckpoint(eager=True)
+            return changed, {"live_edges": live_edges["df"].count()}
+        return changed, {}
+
+    final = runner.run(init, step, converged, resume=resume)
+    return final.select("vertex", "label"), runner

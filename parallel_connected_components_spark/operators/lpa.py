@@ -1,0 +1,73 @@
+"""Community detection by label propagation (LPA).
+
+Target-only capability (BASELINE.json north_rule). Reuses the plumbing of
+the reference's label-propagation CC loop
+(/root/reference/src/cc_openmp.c:38-142) with the per-vertex aggregate
+swapped: instead of MIN over neighbor labels it takes the *most frequent*
+neighbor label (ties broken toward the smaller label so the computation is
+deterministic — the reference's async variants tolerate nondeterministic
+iteration counts but we pin results, risk R4 SURVEY.md §7).
+
+Synchronous updates can oscillate on bipartite structures, so the loop is
+bounded by ``max_iterations`` and also stops when the label assignment is
+stable; tests check community structure on graphs where LPA's fixpoint is
+unambiguous.
+
+Plan shape per iteration: edges ⋈ labels (shuffle join), two-stage
+aggregation — count per (vertex, label), then argmax per vertex via
+max_by with a packed (count, -label) ordering key, avoiding a window sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.runner import FixpointRunner
+from .graph import vertices_of
+
+
+def label_propagation_communities(
+    spark: SparkSession,
+    edges_sym: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, FixpointRunner]:
+    """→ (labels(vertex, label), runner). ``edges_sym`` symmetrized."""
+    verts = vertices.select("id") if vertices is not None else vertices_of(edges_sym)
+    init = verts.select(F.col("id").alias("vertex"), F.col("id").alias("label"))
+    # LPA may oscillate on bipartite structures; hitting the cap returns
+    # the last state rather than raising (the reference's bounded loops:
+    # /root/reference/src/pthreads/cc_pthreads.c:132).
+    runner = FixpointRunner(
+        spark, "lpa", checkpoint_dir=checkpoint_dir, max_iterations=max_iterations,
+        raise_on_cap=False,
+    )
+    e = edges_sym.select("src", "dst")
+
+    def step(state: DataFrame, it: int) -> DataFrame:
+        counts = (
+            e.join(state.select(F.col("vertex").alias("src"), "label"), "src")
+            .groupBy(F.col("dst").alias("vertex"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # argmax by (cnt, -label): most frequent, smallest label on ties
+        best = counts.groupBy("vertex").agg(
+            F.max_by("label", F.struct(F.col("cnt"), -F.col("label"))).alias("new_label")
+        )
+        return (
+            state.select("vertex", F.col("label").alias("old_label"))
+            .join(best, "vertex", "left")
+            .select(
+                "vertex",
+                F.coalesce("new_label", F.col("old_label")).alias("label"),
+                "old_label",
+            )
+        )
+
+    def converged(new_state: DataFrame, it: int):
+        changed = new_state.filter(F.col("label") != F.col("old_label")).count()
+        return changed, {}
+
+    final = runner.run(init.withColumn("old_label", F.col("label")), step, converged)
+    return final.select("vertex", "label"), runner

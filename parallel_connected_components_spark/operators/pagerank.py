@@ -1,0 +1,124 @@
+"""Message-passing PageRank over the directed link graph.
+
+Target-only capability (BASELINE.json north_rule) — the reference computes
+no PageRank, but its LP iteration structure (gather over in-neighbors,
+converge by reduction, /root/reference/src/cc_openmp.c:38-142) is exactly
+the dataflow reused here with min() swapped for sum() and a convergence
+*norm* instead of a changed flag.
+
+Recipe (shared verbatim with the numpy oracle so allclose(1e-6) is
+meaningful — risk R5, SURVEY.md §7):
+- vertices V = distinct endpoints; duplicate edges deduped first;
+- r_0(v) = 1/|V|;
+- r_{t+1}(v) = (1-d)/|V| + d * ( Σ_{u→v} r_t(u)/outdeg(u) + D_t/|V| )
+  where D_t = Σ_{outdeg(u)=0} r_t(u)  (dangling mass redistributed);
+- converged when Σ_v |r_{t+1}(v) - r_t(v)| < tol (L1), float64 throughout.
+
+Plan shape per iteration: one shuffle join (edges ⋈ ranks on src — AQE
+skew-split covers hub sources), one partial+final sum aggregation on dst,
+one left join back to the vertex set, plus two scalar actions (dangling
+mass, L1 delta). The out-degree table is computed once and reused.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.runner import FixpointRunner
+from .graph import vertices_of
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iterations: int = 100,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> tuple[DataFrame, FixpointRunner]:
+    """→ (ranks(vertex long, rank double), runner). ``edges`` is directed."""
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    verts = vertices_of(e).localCheckpoint(eager=True)
+    n = verts.count()
+    outdeg = e.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("outdeg"))
+    # vertex table with outdeg (0 for dangling), reused every iteration
+    vo = (
+        verts.select(F.col("id").alias("vertex"))
+        .join(outdeg, "vertex", "left")
+        .select("vertex", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+
+    init = vo.select("vertex", "outdeg", F.lit(1.0 / n).alias("rank"))
+    runner = FixpointRunner(
+        spark, "pagerank", checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
+    )
+
+    def step(state: DataFrame, it: int) -> DataFrame:
+        dangling = (
+            state.filter(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+        )
+        contribs = (
+            e.join(
+                # dangling vertices (outdeg=0) send no edge mass — filter
+                # before the divide (ANSI mode makes x/0 an error, not inf)
+                state.filter(F.col("outdeg") > 0)
+                .select(F.col("vertex").alias("src"),
+                        (F.col("rank") / F.col("outdeg")).alias("w")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.sum("w").alias("contrib"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        return (
+            state.select("vertex", "outdeg", F.col("rank").alias("prev_rank"))
+            .join(contribs, "vertex", "left")
+            .select(
+                "vertex",
+                "outdeg",
+                (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+                "prev_rank",
+            )
+        )
+
+    def converged(new_state: DataFrame, it: int):
+        delta = (
+            new_state.agg(F.sum(F.abs(F.col("rank") - F.col("prev_rank")))).collect()[0][0]
+            or 0.0
+        )
+        return (0 if delta < tol else 1), {"l1_delta": delta}
+
+    final = runner.run(init.withColumn("prev_rank", F.col("rank")), step, converged, resume=resume)
+    return final.select("vertex", "rank"), runner
+
+
+def pagerank_numpy_oracle(
+    edge_list: list[tuple[int, int]],
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iterations: int = 100,
+) -> dict[int, float]:
+    """Independent dense power iteration, same recipe. Test-scale only."""
+    e = sorted(set(edge_list))
+    verts = sorted({u for u, _ in e} | {v for _, v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    out = np.zeros(n)
+    for u, _ in e:
+        out[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iterations):
+        contrib = np.zeros(n)
+        w = np.where(out > 0, r / np.maximum(out, 1), 0.0)
+        for u, v in e:
+            contrib[idx[v]] += w[idx[u]]
+        dangling = r[out == 0].sum()
+        newr = (1 - damping) / n + damping * (contrib + dangling / n)
+        if np.abs(newr - r).sum() < tol:
+            r = newr
+            break
+        r = newr
+    return {v: float(r[idx[v]]) for v in verts}

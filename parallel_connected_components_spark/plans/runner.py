@@ -1,0 +1,163 @@
+"""Iterative-fixpoint driver: convergence, iteration caps, checkpointing,
+resume, and per-iteration metrics.
+
+This is the Spark replacement for every ``while (changed)`` loop in the
+reference — the frontier loop (/root/reference/src/cc_sequential.c:75-162),
+the OpenMP double-buffered sync loop (/root/reference/src/cc_openmp.c:62-125,
+bounded by max_iterations = V at :82), the MPI Allreduce-voted loops
+(/root/reference/src/mpi/cc_mpi.c:518-525, capped at 1000, :2060). Each
+engine iteration is one Spark job; the shuffle plays the role of the
+Allgatherv/halo exchange; the changed-count action is the Allreduce.
+
+What the C code cannot have but Spark must (risk R2, SURVEY.md §7):
+unbounded logical-plan growth across iterations. Handled two ways:
+- every iteration: ``localCheckpoint(eager=True)`` truncates lineage
+  in-memory (cheap, non-resumable);
+- every ``snapshot_every`` iterations (and at convergence): a durable
+  parquet/Iceberg snapshot via :class:`TableLayer`, carrying the
+  iteration number, changed count, per-partition row counts and timing
+  as lineage — the north rule's "resumable mid-iteration with
+  per-partition lineage + metrics". :meth:`FixpointRunner.run` with
+  ``resume=True`` restarts from the latest durable snapshot.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import TableLayer
+
+
+@dataclass
+class IterationMetrics:
+    iteration: int
+    changed: int
+    seconds: float
+    snapshot: int | None = None
+    extra: dict = field(default_factory=dict)
+
+    def as_dict(self) -> dict:
+        d = {
+            "iteration": self.iteration,
+            "changed": self.changed,
+            "seconds": self.seconds,
+            "snapshot": self.snapshot,
+        }
+        d.update(self.extra)
+        return d
+
+
+def _partition_histogram(df: DataFrame) -> list[int]:
+    """Rows per partition — the per-partition lineage recorded at each
+    durable snapshot (and the skew diagnostic: a straggler partition
+    shows up as an outlier row count)."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("p")).count().orderBy("p").collect()
+    )
+    return [r["count"] for r in rows]
+
+
+class FixpointRunner:
+    """Drive ``state = step(state)`` to convergence.
+
+    ``step_fn(state, iteration) -> (new_state, changed, extra_metrics)``;
+    convergence is ``changed == 0``. The runner owns persistence:
+    algorithms stay pure dataflow.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        checkpoint_dir: str | None = None,
+        snapshot_every: int = 5,
+        max_iterations: int = 200,
+        record_partition_lineage: bool = True,
+        raise_on_cap: bool = True,
+    ):
+        self.spark = spark
+        self.name = name
+        self.tables = TableLayer(spark, checkpoint_dir) if checkpoint_dir else None
+        self.snapshot_every = snapshot_every
+        self.max_iterations = max_iterations
+        self.record_partition_lineage = record_partition_lineage
+        self.raise_on_cap = raise_on_cap
+        self.metrics: list[IterationMetrics] = []
+
+    # -- persistence -------------------------------------------------------
+    def _save(self, state: DataFrame, it: int, m: IterationMetrics) -> int:
+        lineage = {
+            "iteration": it,
+            "changed": m.changed,
+            "seconds": m.seconds,
+            "num_partitions": state.rdd.getNumPartitions(),
+            **m.extra,
+        }
+        if self.record_partition_lineage:
+            lineage["partition_rows"] = _partition_histogram(state)
+        return self.tables.save_snapshot(self.name, state, lineage=lineage)
+
+    def latest(self) -> tuple[DataFrame, int] | None:
+        """(state, iteration) of the latest durable snapshot, or None."""
+        if self.tables is None or self.tables.latest_snapshot(self.name) < 0:
+            return None
+        snaps = self.tables.snapshots(self.name)
+        it = snaps[-1]["lineage"].get("iteration", 0)
+        return self.tables.load(self.name), it
+
+    # -- the loop ----------------------------------------------------------
+    def run(
+        self,
+        init_state: DataFrame | Callable[[], DataFrame],
+        step_fn: Callable[[DataFrame, int], DataFrame],
+        converged_fn: Callable[[DataFrame, int], tuple[int, dict]],
+        resume: bool = False,
+    ) -> DataFrame:
+        """``step_fn(state, it)`` returns the next state as a *lazy* plan;
+        the runner materializes it (lineage truncation) exactly once, then
+        ``converged_fn(new_state, it)`` computes ``(changed, extra)`` over
+        the materialized state — so convergence actions never recompute
+        the iteration's dataflow."""
+        start_iter = 0
+        state: DataFrame | None = None
+        if resume:
+            got = self.latest()
+            if got is not None:
+                state, start_iter = got
+                start_iter += 1
+        if state is None:
+            state = init_state() if callable(init_state) else init_state
+            state = state.localCheckpoint(eager=True)
+
+        prev = None
+        for it in range(start_iter, self.max_iterations):
+            t0 = time.perf_counter()
+            new_state = step_fn(state, it).localCheckpoint(eager=True)
+            changed, extra = converged_fn(new_state, it)
+            if prev is not None:
+                prev.unpersist()
+            prev, state = state, new_state
+            m = IterationMetrics(it, changed, time.perf_counter() - t0, extra=extra)
+            if self.tables is not None and (
+                changed == 0 or (it + 1) % self.snapshot_every == 0
+            ):
+                m.snapshot = self._save(state, it, m)
+            self.metrics.append(m)
+            if changed == 0:
+                break
+        else:
+            if self.raise_on_cap:
+                raise RuntimeError(
+                    f"{self.name}: no convergence in {self.max_iterations} iterations"
+                    " (cap analog: /root/reference/src/cc_openmp.c:82)"
+                )
+        return state
+
+    @property
+    def num_iterations(self) -> int:
+        """CCResult.num_iterations analog (/root/reference/inc/cc_sequential.h:8)."""
+        return len(self.metrics)

@@ -1,0 +1,95 @@
+"""SparkSession factory.
+
+The reference parallelizes with OpenMP/pthreads/MPI thread- and
+rank-sweeps (/root/reference/scripts/run_benchmarks.sh:40-74); here
+parallelism is the Spark scheduler, configured once. Must-set configs per
+SURVEY.md §4: AQE on (runtime skew-join splitting + partition coalescing —
+the analog of the reference's dynamic scheduling,
+/root/reference/src/pthreads/afforest_simple.c:622-649), Arrow on (all
+Python UDFs are vectorized per BASELINE.json input_hint), UTC session
+timezone (DuckDB oracle parity), shuffle partitions sized to cores rather
+than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Worker-thread count: $SPARK_GRAFT_CPUS, else all cores."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "parallel_connected_components_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cores=None`` → ``local[$SPARK_GRAFT_CPUS or *]``. On a real cluster
+    the same code runs via ``spark-submit --py-files`` with master unset
+    here (spark-submit provides it); local mode is the sandbox substitute
+    for the north rule's N / 4N executor sweep.
+    """
+    n = cores if cores is not None else default_parallelism()
+    shuffle = shuffle_partitions if shuffle_partitions is not None else max(n, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    # Under spark-submit on a cluster the master comes from the launcher;
+    # standalone (tests, bench) we pin local[n].
+    if "SPARK_GRAFT_MASTER" in os.environ:
+        builder = builder.master(os.environ["SPARK_GRAFT_MASTER"])
+    else:
+        builder = builder.master(f"local[{n}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (addPyFile) — the
+    in-process equivalent of ``spark-submit --py-files`` the north rule
+    deploys with. Without it, pandas-UDF closures defined in this package
+    unpickle on workers only when the consumer's CWD happens to contain
+    the source tree (ModuleNotFoundError otherwise)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}-pyfiles.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                        z.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)

@@ -1,0 +1,132 @@
+"""CC correctness: golden fixture, cross-algorithm differential testing
+(the reference's real strategy, /root/reference/benchmarks/
+benchmark_sequential.c:81-98), property-based seeded graphs with component
+count known by construction (/root/reference/tools/generate_graph.c:43-66),
+and idempotence under duplicates/self-loops."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_connected_components_spark.operators import (
+    cc_alternating_stars,
+    cc_label_propagation,
+    cc_two_phase,
+    count_components,
+    normalize_labels,
+    symmetrize,
+    union_find_oracle,
+    vertices_of,
+)
+from tests.conftest import GOLDEN_EDGES, GOLDEN_LABELS
+
+
+def labels_dict(labels_df) -> dict[int, int]:
+    return {r["vertex"]: r["label"] for r in labels_df.collect()}
+
+
+def gen_component_graph(num_vertices: int, num_components: int, extra_per_vertex: int, seed: int):
+    """Seeded port of the reference generator's property: P components by
+    construction — spanning path per contiguous block + extra intra-block
+    edges (tools/generate_graph.c:43-66, with the time(NULL) seed fixed)."""
+    rng = random.Random(seed)
+    bs = -(-num_vertices // num_components)
+    edges = []
+    for i in range(num_vertices):
+        start = (i // bs) * bs
+        end = min(start + bs, num_vertices)
+        if i > start:
+            edges.append((i, i - 1))
+        for _ in range(extra_per_vertex):
+            edges.append((i, rng.randrange(start, end)))
+    return edges
+
+
+ALGOS = {
+    "stars": lambda spark, e: cc_alternating_stars(spark, e)[0],
+    "two_phase": lambda spark, e: cc_two_phase(spark, e, num_partitions=4)[0],
+    "label_prop": lambda spark, e: cc_label_propagation(spark, symmetrize(e))[0],
+}
+
+
+@pytest.mark.parametrize("algo", sorted(ALGOS))
+def test_golden_fixture(spark, golden_edges, algo):
+    labels = ALGOS[algo](spark, golden_edges)
+    assert labels_dict(labels) == GOLDEN_LABELS
+    assert count_components(labels) == 2
+
+
+@pytest.mark.parametrize("algo", sorted(ALGOS))
+@pytest.mark.parametrize(
+    "num_vertices,num_components,epv,seed",
+    [(60, 3, 4, 1), (300, 10, 2, 2), (1000, 7, 3, 3)],
+)
+def test_property_graphs_match_oracle(spark, algo, num_vertices, num_components, epv, seed):
+    edge_list = gen_component_graph(num_vertices, num_components, epv, seed)
+    oracle = union_find_oracle(edge_list)
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    labels = ALGOS[algo](spark, edges)
+    got = labels_dict(labels)
+    # union_find_oracle only covers vertices appearing in edges; ours too
+    assert got == oracle
+    assert count_components(labels) == num_components
+
+
+def test_idempotent_under_duplicates_and_self_loops(spark):
+    base = gen_component_graph(100, 4, 2, seed=7)
+    noisy = base + base[::3] + [(i, i) for i in range(0, 100, 9)]
+    e1 = spark.createDataFrame(base, "src long, dst long")
+    e2 = spark.createDataFrame(noisy, "src long, dst long")
+    l1 = labels_dict(cc_alternating_stars(spark, e1)[0])
+    l2 = labels_dict(cc_alternating_stars(spark, e2)[0])
+    # self-loops add their vertex (labeling itself) but change no component
+    for v, lab in l1.items():
+        assert l2[v] == lab
+
+
+def test_permutation_invariance(spark):
+    base = gen_component_graph(80, 4, 2, seed=11)
+    rng = random.Random(99)
+    perm = list(range(200))
+    rng.shuffle(perm)
+    permuted = [(perm[u], perm[v]) for u, v in base]
+    l_base = union_find_oracle(base)
+    labels = labels_dict(
+        cc_alternating_stars(
+            spark, spark.createDataFrame(permuted, "src long, dst long")
+        )[0]
+    )
+    # same partition structure: grouping by label must induce the same
+    # vertex groups (after mapping through perm)
+    def groups(lab: dict):
+        g = {}
+        for v, l in lab.items():
+            g.setdefault(l, set()).add(v)
+        return {frozenset(s) for s in g.values()}
+
+    base_groups = {frozenset(perm[v] for v in s) for s in groups(l_base)}
+    assert groups(labels) == base_groups
+
+
+def test_isolated_vertices_label_themselves(spark, golden_edges):
+    verts = spark.range(8).select(F.col("id"))
+    labels, _ = cc_alternating_stars(spark, golden_edges, vertices=verts)
+    got = labels_dict(labels)
+    assert got[6] == 6 and got[7] == 7
+    assert count_components(labels) == 4
+
+
+def test_normalize_labels(spark):
+    # arbitrary representatives → min-id convention (SURVEY.md §1.2)
+    raw = spark.createDataFrame(
+        [(0, 2), (1, 2), (2, 2), (3, 5), (4, 5), (5, 5)], "vertex long, label long"
+    )
+    got = labels_dict(normalize_labels(raw))
+    assert got == GOLDEN_LABELS
+
+
+def test_vertices_of(spark, golden_edges):
+    assert {r["id"] for r in vertices_of(golden_edges).collect()} == set(range(6))
