@@ -54,19 +54,28 @@ def read_mtx(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     """
     header = read_mtx_header(path)
 
-    def parse_partition(idx: int, lines):
-        skipped_header = idx != 0  # only the first partition holds the dims line
-        for line in lines:
-            s = line.strip()
-            if not s or s.startswith("%"):
-                continue
-            if not skipped_header:
-                skipped_header = True
-                continue
-            parts = s.split()
-            yield (int(parts[0]) - 1, int(parts[1]) - 1)
+    # Number of physical lines up to and including the dims line, counted
+    # driver-side (the header is tiny by format definition). Body lines
+    # are then identified positionally via zipWithIndex — deterministic
+    # for text inputs regardless of how blocks split across partitions.
+    n_skip = 0
+    with open(path, "r", encoding="utf-8", errors="replace") as f:
+        for line in f:
+            n_skip += 1
+            if not line.startswith("%"):
+                break
 
-    rdd = spark.sparkContext.textFile(path).mapPartitionsWithIndex(parse_partition)
+    def parse(pair):
+        line, _ = pair
+        parts = line.split()
+        return (int(parts[0]) - 1, int(parts[1]) - 1)
+
+    rdd = (
+        spark.sparkContext.textFile(path)
+        .zipWithIndex()
+        .filter(lambda p: p[1] >= n_skip and p[0].strip() and not p[0].startswith("%"))
+        .map(parse)
+    )
     edges = spark.createDataFrame(rdd, _EDGE_SCHEMA)
     return edges, header
 

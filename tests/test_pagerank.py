@@ -1,0 +1,48 @@
+"""PageRank vs the independent numpy power-iteration oracle — allclose at
+1e-6 per the north rule (BASELINE.json), float64 end-to-end (risk R5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from parallel_connected_components_spark.operators import (
+    pagerank,
+    pagerank_numpy_oracle,
+)
+from tests.conftest import GOLDEN_EDGES
+from tests.test_cc import gen_component_graph
+
+
+def ranks_dict(df):
+    return {r["vertex"]: r["rank"] for r in df.collect()}
+
+
+@pytest.mark.parametrize(
+    "edge_list",
+    [
+        GOLDEN_EDGES,
+        gen_component_graph(120, 4, 2, seed=5),
+        [(0, 1), (1, 2), (2, 0), (2, 3)],  # cycle + dangling tail
+    ],
+    ids=["golden", "property", "dangling"],
+)
+def test_pagerank_allclose_oracle(spark, edge_list):
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got, runner = pagerank(spark, edges, tol=1e-6)
+    oracle = pagerank_numpy_oracle(edge_list, tol=1e-6)
+    gd = ranks_dict(got)
+    assert set(gd) == set(oracle)
+    for v in oracle:
+        assert gd[v] == pytest.approx(oracle[v], abs=1e-6), v
+    # probability mass conserved
+    assert sum(gd.values()) == pytest.approx(1.0, abs=1e-9)
+    assert runner.num_iterations >= 2
+
+
+def test_pagerank_deterministic_across_partitioning(spark):
+    edge_list = gen_component_graph(100, 3, 2, seed=9)
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    r1 = ranks_dict(pagerank(spark, edges, tol=1e-8)[0])
+    r2 = ranks_dict(pagerank(spark, edges.repartition(7), tol=1e-8)[0])
+    for v in r1:
+        assert r1[v] == pytest.approx(r2[v], abs=1e-12)
