@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin wrapper over parallel_connected_components_spark.entry — the engine's
+query registry. Each ``queries()`` entry is an implemented operator from
+SURVEY.md §2 (graph build, 3 CC algorithms sharing one recursive-CTE
+oracle, degree/component stats, triangles, PageRank, LPA) plus the
+training-data ops (token/quality/lang/fingerprint, exact + MinHash +
+SimHash + n-gram-Jaccard dedup, brute-force kNN, multimodal plumbing,
+events windows, TPC-H-style pricing summary).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from parallel_connected_components_spark import entry as _entry  # noqa: E402
+from parallel_connected_components_spark.session import _ship_package  # noqa: E402
+
+_QUERIES, _ORACLES = _entry.build_queries()
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the driver builds its own session: ship our package to its
+        # Python workers so pandas-UDF closures resolve (= --py-files)
+        try:
+            _ship_package(spark)
+        except Exception:
+            pass  # already shipped or local source tree importable
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass
+    return _entry.flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: _wrap(fn) for name, fn in _QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,537 @@
+"""Driver-contract queries and their DuckDB oracle SQL.
+
+Every operator family from SURVEY.md §2 (plus the training-data ops) gets
+a ``queries()`` entry over the driver testdata tables and, where
+ANSI-SQL-expressible, a matching ``oracle_sql()`` string. The link graph
+is *derived from the documents table by pure integer arithmetic* (no
+hashing) so Spark and DuckDB construct bit-identical edge tables:
+
+    star:   (i, i - (i % 8))          — block star
+    chain:  (i, i - 1)   where i % 8 <> 0
+    self:   (i, i)       where i % 17 = 0   (exercises self-loop drop)
+
+giving components = blocks of 8 consecutive doc_ids (known by
+construction, like the reference generator /root/reference/tools/
+generate_graph.c:43-66). Component structure is small, so the recursive
+min-reachable CTE oracle stays cheap.
+
+Three CC queries (two-phase, alternating stars, frontier label-prop)
+share ONE oracle — the driver thereby reruns the reference's
+cross-algorithm differential test (/root/reference/benchmarks/
+benchmark_sequential.c:81-98) on every round.
+
+Column names/types are aligned pairwise (driver hashes values after
+sorting columns by name). Floating-point rules: doubles only where the
+computation is order-independent (integer-sum ratios, constant sums);
+money-ish sums go through DECIMAL so both engines sum exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions.hashing import MERSENNE_31, minhash_params
+from .functions.textstats import (
+    LANG_STOPWORDS,
+    bpe_token_estimate_col,
+    fingerprint_col,
+    lang_id_col,
+    quality_score_col,
+    token_count_col,
+)
+from .operators.cc import (
+    cc_alternating_stars,
+    cc_label_propagation,
+    cc_two_phase,
+)
+from .operators.dedup import exact_duplicates, minhash_signatures, simhash_signatures
+from .operators.graph import canonicalize, degree_stats, degrees, symmetrize
+from .operators.lpa import label_propagation_communities
+from .operators.pagerank import pagerank
+from .operators.similarity import knn_bruteforce
+from .operators.stats import component_sizes, component_stats, top_components
+from .operators.triangles import triangle_count
+from .streaming.events import batch_event_counts
+
+BLOCK = 8
+SELF_MOD = 17
+MINHASH_PERMS = 8
+SIMHASH_BITS = 60
+KNN_QUERY_IDS = list(range(10))
+
+
+# ===========================================================================
+# Shared builders — Spark side
+# ===========================================================================
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def raw_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id")
+    star = ids.select(i.alias("src"), (i - i % BLOCK).alias("dst"))
+    chain = ids.filter(i % BLOCK != 0).select(i.alias("src"), (i - 1).alias("dst"))
+    selfl = ids.filter(i % SELF_MOD == 0).select(i.alias("src"), i.alias("dst"))
+    return star.unionAll(chain).unionAll(selfl)
+
+
+def doc_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+
+
+# ===========================================================================
+# Shared builders — oracle SQL fragments (DuckDB dialect)
+# ===========================================================================
+
+RAW_EDGES_SQL = f"""
+  raw AS (
+    SELECT doc_id AS src, doc_id - (doc_id % {BLOCK}) AS dst FROM documents
+    UNION ALL
+    SELECT doc_id, doc_id - 1 FROM documents WHERE doc_id % {BLOCK} <> 0
+    UNION ALL
+    SELECT doc_id, doc_id FROM documents WHERE doc_id % {SELF_MOD} = 0
+  )"""
+
+CANON_SQL = (
+    RAW_EDGES_SQL
+    + """,
+  canon AS (
+    SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+    FROM raw WHERE src <> dst
+  )"""
+)
+
+SYM_SQL = (
+    CANON_SQL
+    + """,
+  sym AS (
+    SELECT src, dst FROM canon UNION SELECT dst, src FROM canon
+  )"""
+)
+
+CC_SQL = (
+    SYM_SQL
+    + """,
+  verts AS (
+    SELECT doc_id AS v FROM documents
+    UNION SELECT src FROM sym UNION SELECT dst FROM sym
+  ),
+  reach(v, l) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT s.dst, r.l FROM reach r JOIN sym s ON s.src = r.v
+  ),
+  cc AS (
+    SELECT v AS vertex, min(l) AS label FROM reach GROUP BY v
+  )"""
+)
+
+
+def _words_sql(col: str = "text") -> str:
+    trimmed = f"regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
+    return (
+        f"CASE WHEN {trimmed} = '' OR {col} IS NULL THEN []::VARCHAR[] "
+        f"ELSE regexp_split_to_array({trimmed}, '\\s+') END"
+    )
+
+
+def _norm_sql(col: str = "text") -> str:
+    return (
+        f"regexp_replace(regexp_replace(lower({col}), '\\s+', ' ', 'g'),"
+        f" '^ +| +$', '', 'g')"
+    )
+
+
+def _stop_hits_sql(lang: str, col: str = "text") -> str:
+    words = ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter({_words_sql(col)}, x -> lower(x) IN ({words})))"
+
+
+def _hash31_sql(expr: str) -> str:
+    return f"((('0x' || substr(md5({expr}), 1, 15))::BIGINT) % {MERSENNE_31})"
+
+
+SHINGLES_SQL = f"""
+  sh0 AS (
+    SELECT doc_id, {_words_sql(_norm_sql("text"))} AS w FROM documents
+  ),
+  sh1 AS (
+    SELECT doc_id,
+      CASE WHEN len(w) >= 3
+        THEN list_transform(generate_series(1, len(w) - 2),
+                            i -> array_to_string(w[i:i+2], ' '))
+        ELSE [array_to_string(w, ' ')] END AS shingles
+    FROM sh0
+  ),
+  shv AS (
+    SELECT DISTINCT doc_id AS _id, {_hash31_sql("sh")} AS x
+    FROM sh1, unnest(shingles) AS t(sh)
+  )"""
+
+
+# ===========================================================================
+# Query registry
+# ===========================================================================
+
+def build_queries():
+    """→ (queries: dict[name, callable(spark, sf_dir) -> DataFrame],
+          oracles: dict[name, sql])."""
+    queries: dict = {}
+    oracles: dict[str, str] = {}
+
+    def q(name, fn, sql=None):
+        queries[name] = fn
+        if sql is not None:
+            oracles[name] = sql
+
+    # ---------------- graph construction -----------------------------------
+    q(
+        "edges_build",
+        lambda spark, sf: canonicalize(raw_edges(spark, sf)),
+        f"WITH {CANON_SQL} SELECT src, dst FROM canon",
+    )
+    q(
+        "degree_stats",
+        lambda spark, sf: degree_stats(symmetrize(raw_edges(spark, sf))),
+        f"""WITH {SYM_SQL}
+        SELECT min(degree) AS min_degree, max(degree) AS max_degree,
+               avg(degree) AS avg_degree, count(*) AS num_vertices
+        FROM (SELECT src, count(*) AS degree FROM sym GROUP BY src)""",
+    )
+    q(
+        "degree_topk",
+        lambda spark, sf: degrees(symmetrize(raw_edges(spark, sf)))
+        .orderBy(F.desc("degree"), F.asc("id"))
+        .limit(10),
+        f"""WITH {SYM_SQL}
+        SELECT src AS id, count(*) AS degree FROM sym GROUP BY src
+        ORDER BY degree DESC, id ASC LIMIT 10""",
+    )
+
+    # ---------------- connected components (3 algorithms, 1 oracle) --------
+    cc_oracle = f"WITH RECURSIVE {CC_SQL} SELECT vertex, label FROM cc"
+
+    def _cc_two_phase(spark, sf):
+        return cc_two_phase(
+            spark, raw_edges(spark, sf), vertices=doc_vertices(spark, sf)
+        )[0]
+
+    def _cc_stars(spark, sf):
+        return cc_alternating_stars(
+            spark, raw_edges(spark, sf), vertices=doc_vertices(spark, sf)
+        )[0]
+
+    def _cc_lp(spark, sf):
+        return cc_label_propagation(
+            spark, symmetrize(raw_edges(spark, sf)), vertices=doc_vertices(spark, sf)
+        )[0]
+
+    q("cc_labels", _cc_two_phase, cc_oracle)
+    q("cc_labels_stars", _cc_stars, cc_oracle)
+    q("cc_labels_labelprop", _cc_lp, cc_oracle)
+    q(
+        "cc_component_sizes",
+        lambda spark, sf: component_sizes(_cc_two_phase(spark, sf)),
+        f"""WITH RECURSIVE {CC_SQL}
+        SELECT label, count(*) AS size FROM cc GROUP BY label""",
+    )
+    q(
+        "cc_component_stats",
+        lambda spark, sf: component_stats(_cc_two_phase(spark, sf)),
+        f"""WITH RECURSIVE {CC_SQL}
+        SELECT count(*) AS num_components, min(size) AS min_size,
+               max(size) AS max_size, avg(size) AS avg_size
+        FROM (SELECT label, count(*) AS size FROM cc GROUP BY label)""",
+    )
+    q(
+        "cc_top_components",
+        lambda spark, sf: top_components(_cc_two_phase(spark, sf), k=10),
+        f"""WITH RECURSIVE {CC_SQL}
+        SELECT label, count(*) AS size FROM cc GROUP BY label
+        ORDER BY size DESC, label ASC LIMIT 10""",
+    )
+
+    # ---------------- triangles ---------------------------------------------
+    def _tri(spark, sf):
+        n = triangle_count(spark, raw_edges(spark, sf))
+        return spark.createDataFrame([(n,)], "triangles long")
+
+    q(
+        "triangle_count",
+        _tri,
+        f"""WITH {CANON_SQL}
+        SELECT count(*) AS triangles
+        FROM canon a JOIN canon b ON a.dst = b.src
+        JOIN canon c ON c.src = a.src AND c.dst = b.dst""",
+    )
+
+    # ---------------- iterative, non-SQL-expressible (rows-only checks) -----
+    def _pr(spark, sf):
+        ranks, _ = pagerank(spark, canonicalize(raw_edges(spark, sf)), tol=1e-6)
+        return ranks.orderBy(F.desc("rank"), F.asc("vertex")).limit(20)
+
+    q("pagerank_top20", _pr)  # iterative fixpoint: no SQL oracle (driver rows-only)
+
+    def _lpa(spark, sf):
+        labels, _ = label_propagation_communities(
+            spark, symmetrize(raw_edges(spark, sf)), max_iterations=8
+        )
+        return labels
+
+    q("lpa_communities", _lpa)  # iterative fixpoint: rows-only
+
+    # ---------------- text analysis -----------------------------------------
+    q(
+        "token_counts",
+        lambda spark, sf: _docs(spark, sf).select(
+            "doc_id", token_count_col("text").alias("n_tokens")
+        ),
+        f"SELECT doc_id, len({_words_sql()}) AS n_tokens FROM documents",
+    )
+    q(
+        "bpe_token_estimates",
+        lambda spark, sf: _docs(spark, sf).select(
+            "doc_id", bpe_token_estimate_col("text").alias("n_bpe")
+        ),
+        r"""SELECT doc_id,
+            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+              AS n_bpe
+        FROM documents""",
+    )
+    stop_en = _stop_hits_sql("en")
+    q(
+        "quality_scores",
+        lambda spark, sf: _docs(spark, sf).select(
+            "doc_id", quality_score_col("text").alias("quality_score")
+        ),
+        f"""WITH m AS (
+          SELECT doc_id,
+                 len({_words_sql()}) AS n_words,
+                 length(text) AS n_chars,
+                 length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                 {stop_en} AS n_stop
+          FROM documents
+        )
+        SELECT doc_id,
+          (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)::DOUBLE
+        + (CASE WHEN n_words > 0
+                 AND (n_chars::DOUBLE / n_words) BETWEEN 3.0 AND 12.0
+                THEN 0.25 ELSE 0.0 END)::DOUBLE
+        + (CASE WHEN n_words > 0
+                 AND (n_stop::DOUBLE / n_words) BETWEEN 0.02 AND 0.6
+                THEN 0.25 ELSE 0.0 END)::DOUBLE
+        + (CASE WHEN n_chars = 0 OR (n_punct::DOUBLE / n_chars) <= 0.2
+                THEN 0.25 ELSE 0.0 END)::DOUBLE AS quality_score
+        FROM m""",
+    )
+    langs = sorted(LANG_STOPWORDS)
+    lang_scores = ", ".join(f"{_stop_hits_sql(lg)} AS s_{lg}" for lg in langs)
+    g = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    argmax = " ".join(f"WHEN s_{lg} = g THEN '{lg}'" for lg in langs)
+    q(
+        "lang_id",
+        lambda spark, sf: _docs(spark, sf).select(
+            "doc_id", lang_id_col("text").alias("lang_pred")
+        ),
+        f"""WITH s AS (SELECT doc_id, {lang_scores} FROM documents),
+        s2 AS (SELECT doc_id, s_de, s_en, s_es, s_fr, {g} AS g FROM s)
+        SELECT doc_id,
+               CASE WHEN g = 0 OR g IS NULL THEN 'und' {argmax} END AS lang_pred
+        FROM s2""",
+    )
+    q(
+        "doc_fingerprints",
+        lambda spark, sf: _docs(spark, sf).select(
+            "doc_id", fingerprint_col("text").alias("fingerprint")
+        ),
+        f"SELECT doc_id, md5({_norm_sql()}) AS fingerprint FROM documents",
+    )
+    q(
+        "exact_dup_groups",
+        lambda spark, sf: exact_duplicates(_docs(spark, sf)),
+        f"""SELECT md5({_norm_sql()}) AS fingerprint,
+               min(doc_id) AS canonical_id, count(*) AS dup_count
+        FROM documents GROUP BY 1""",
+    )
+
+    # ---------------- MinHash / SimHash (signatures, exact SQL twins) -------
+    params = minhash_params(MINHASH_PERMS)
+    min_aggs_sql = ", ".join(
+        f"min(({a} * x + {b}) % {MERSENNE_31}) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+
+    def _minhash_wide(spark, sf):
+        sigs = minhash_signatures(_docs(spark, sf), num_perm=MINHASH_PERMS)
+        cols = [F.col("sig")[i].alias(f"h{i}") for i in range(MINHASH_PERMS)]
+        return sigs.select("doc_id", *cols)
+
+    q(
+        "minhash_signatures",
+        _minhash_wide,
+        f"""WITH {SHINGLES_SQL}
+        SELECT _id AS doc_id, {min_aggs_sql} FROM shv GROUP BY _id""",
+    )
+
+    simhash_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+
+    def _simhash(spark, sf):
+        return simhash_signatures(_docs(spark, sf), bits=SIMHASH_BITS)
+
+    q(
+        "simhash_signatures",
+        _simhash,
+        f"""WITH w0 AS (
+          SELECT doc_id,
+                 regexp_split_to_array({_norm_sql()}, ' ') AS words
+          FROM documents
+        ),
+        wh AS (
+          SELECT doc_id, (('0x' || substr(md5(w), 1, 15))::BIGINT) AS h
+          FROM w0, unnest(words) AS t(w)
+        )
+        SELECT doc_id, ({simhash_terms}) AS simhash
+        FROM wh GROUP BY doc_id""",
+    )
+
+    # ---------------- n-gram Jaccard ----------------------------------------
+    def _jaccard(spark, sf):
+        from .operators.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.1)
+
+    q(
+        "ngram_jaccard_pairs",
+        _jaccard,
+        f"""WITH {SHINGLES_SQL},
+        sizes AS (SELECT _id, count(*) AS n_sh FROM shv GROUP BY _id),
+        common AS (
+          SELECT l._id AS a, r._id AS b, count(*) AS common
+          FROM shv l JOIN shv r ON l.x = r.x AND l._id < r._id
+          GROUP BY 1, 2
+        )
+        SELECT a, b,
+               common::DOUBLE / (sa.n_sh + sb.n_sh - common) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa._id = a
+        JOIN sizes sb ON sb._id = b
+        WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.1""",
+    )
+
+    # ---------------- similarity search -------------------------------------
+    qids = ", ".join(str(x) for x in KNN_QUERY_IDS)
+    q(
+        "knn_top5",
+        lambda spark, sf: knn_bruteforce(
+            spark.read.parquet(f"{sf}/embeddings.parquet"), KNN_QUERY_IDS, k=5
+        ).select("query_id", "neighbor_id", "rank"),
+        f"""WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id IN ({qids})
+        ),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine
+          FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5""",
+    )
+    q(
+        "embedding_stats",
+        lambda spark, sf: spark.read.parquet(f"{sf}/embeddings.parquet")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.size("embedding")).alias("dim"),
+        ),
+        """SELECT label, count(*) AS n, min(len(embedding)) AS dim
+        FROM embeddings GROUP BY label""",
+    )
+
+    # ---------------- multimodal plumbing -----------------------------------
+    def _media(spark, sf):
+        from .operators.multimodal import extract_features
+
+        media = _docs(spark, sf).select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("text-blob").alias("kind"),
+            F.encode("text", "UTF-8").alias("payload"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        )
+        return extract_features(media).select("media_id", "n_bytes")
+
+    q(
+        "media_features",
+        _media,
+        """SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents""",
+    )
+
+    # ---------------- events / OLAP ----------------------------------------
+    q(
+        "events_hourly",
+        lambda spark, sf: batch_event_counts(
+            spark.read.parquet(f"{sf}/events.parquet"), window="1 hour"
+        ).select(
+            F.date_format("window_start", "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+            "n_events",
+        ),
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+               event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2""",
+    )
+    q(
+        "lineitem_pricing",
+        lambda spark, sf: spark.read.parquet(f"{sf}/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(20,4)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        ),
+        """SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+                 AS sum_base_price,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    )
+
+    return queries, oracles
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship: CC over the documents link graph with per-doc component
+    size — the end-to-end slice of SURVEY.md §7 step 5."""
+    labels = cc_two_phase(
+        spark, raw_edges(spark, sf_dir), vertices=doc_vertices(spark, sf_dir)
+    )[0]
+    sizes = component_sizes(labels)
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("vertex").alias("doc_id"),
+            F.col("label").alias("component"),
+            F.col("size").alias("component_size"),
+        )
+    )
