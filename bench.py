@@ -1,0 +1,180 @@
+"""Benchmark harness (port of the reference's timing/speedup harness,
+/root/reference/benchmarks/benchmark_*.c, SURVEY.md §2.6 X6).
+
+Runs the headline suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec",
+"queries": {name: sec}, "sf", plus throughput fields}.
+
+The authoritative metric (BASELINE.json): edges/sec per iteration to CC
+convergence (exact labels) and PageRank 1e-6 — reported as
+``cc_edges_per_sec_per_iter`` / ``pr_edges_per_sec_per_iter``.
+
+Scaling evidence (north rule's N vs 4N executors, sandbox substitution:
+two local[] levels) runs via scripts/scaling_bench.py → BENCH/BASELINE.md;
+set SPARK_GRAFT_SCALING=1 to embed it here too.
+
+Workload scale: the synthetic pages table is sized to the sf (1M pages/sf
+unit → sf0.1 = 100k pages, ~800k directed links) and cached as parquet
+under .data/ so repeated runs measure the engine, not the generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from parallel_connected_components_spark.session import default_parallelism, get_spark  # noqa: E402
+
+PAGES_PER_SF = 1_000_000
+LINKS_PER_PAGE = 6
+NUM_COMPONENTS = 64
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return float(base[2:]) if base.startswith("sf") else 0.1
+
+
+def cached_pages(spark, sf: float) -> str:
+    """Generate-once pages parquet for this sf."""
+    from parallel_connected_components_spark.sources import gen_pages
+
+    n = max(2000, int(PAGES_PER_SF * sf))
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".data",
+        f"bench_pages_v{n}_c{NUM_COMPONENTS}_l{LINKS_PER_PAGE}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        gen_pages(
+            spark, n, NUM_COMPONENTS, LINKS_PER_PAGE, seed=42
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_of(sf_dir)
+    cores = default_parallelism()
+    spark = get_spark("bench", cores=cores)
+
+    from parallel_connected_components_spark.operators import (
+        canonicalize,
+        cc_two_phase,
+        count_components,
+        edges_from_pages,
+        label_propagation_communities,
+        pagerank,
+        symmetrize,
+        triangle_count,
+    )
+    from parallel_connected_components_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from parallel_connected_components_spark.operators.similarity import knn_bruteforce
+    from parallel_connected_components_spark.entry import build_queries
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # -- pipeline: pages → links (pandas UDF) → edge table -------------------
+    pages_path = cached_pages(spark, sf)
+    pages = spark.read.parquet(pages_path)
+    edges_raw = edges_from_pages(pages)
+    edges_canon = timed(
+        "extract_and_build_edges",
+        lambda: canonicalize(edges_raw).localCheckpoint(eager=True),
+    )
+    n_edges = edges_canon.count()
+    edges_sym = symmetrize(edges_canon, dedup=False).localCheckpoint(eager=True)
+
+    # -- CC to convergence (exact labels) ------------------------------------
+    def run_cc():
+        labels, runner = cc_two_phase(spark, edges_canon, assume_canonical=True)
+        ncomp = count_components(labels)
+        assert ncomp == NUM_COMPONENTS, f"cc wrong: {ncomp}"
+        return runner
+
+    cc_runner = timed("cc_two_phase", run_cc)
+    cc_iters = max(1, cc_runner.num_iterations)
+    extra["cc_iterations"] = cc_iters
+    extra["cc_edges_per_sec"] = round(n_edges / timings["cc_two_phase"], 1)
+    extra["cc_edges_per_sec_per_iter"] = round(
+        n_edges * cc_iters / timings["cc_two_phase"], 1
+    )
+
+    # -- PageRank to 1e-6 ------------------------------------------------------
+    def run_pr():
+        ranks, runner = pagerank(spark, edges_canon, tol=1e-6, max_iterations=60)
+        ranks.agg(F.sum("rank")).collect()
+        return runner
+
+    pr_runner = timed("pagerank_1e6", run_pr)
+    extra["pr_iterations"] = pr_runner.num_iterations
+    extra["pr_edges_per_sec_per_iter"] = round(
+        n_edges * pr_runner.num_iterations / timings["pagerank_1e6"], 1
+    )
+
+    # -- LPA (bounded) + triangles -------------------------------------------
+    timed(
+        "lpa_8iter",
+        lambda: label_propagation_communities(
+            spark, edges_sym, max_iterations=8
+        )[0].count(),
+    )
+    extra["triangles"] = timed(
+        "triangle_count", lambda: triangle_count(spark, edges_canon, orient_by_degree=True)
+    )
+
+    # -- training-data ops over the sf tables ---------------------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed(
+        "minhash_near_dup",
+        lambda: minhash_near_duplicates(docs, num_perm=32, num_bands=8, threshold=0.5).count(),
+    )
+    timed("knn_top5", lambda: knn_bruteforce(emb, list(range(10)), k=5).count())
+
+    # -- a few oracle queries for continuity with the correctness gate --------
+    queries, _ = build_queries()
+    for name in ("token_counts", "quality_scores", "events_hourly", "lineitem_pricing"):
+        timed(name, lambda n=name: queries[n](spark, sf_dir).count())
+
+    result = {
+        "metric": "headline suite wall time (cc/pagerank to convergence + lpa/triangles/dedup/knn/scans)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+        "n_pages": pages.count(),
+        "n_edges_canonical": n_edges,
+        **extra,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING"):
+        spark.stop()
+        from scripts.scaling_bench import run_scaling
+
+        result["scaling"] = run_scaling(pages_path, write_md=False)
+    else:
+        spark.stop()
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,9 +42,9 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
-from ..plans.runner import FixpointRunner
+from ..plans.runner import FixpointRunner, IterationMetrics
 from .graph import canonicalize, vertices_of
 
 
@@ -170,21 +170,39 @@ def cc_alternating_stars(
     checkpoint_dir: str | None = None,
     max_iterations: int = 50,
     resume: bool = False,
+    assume_oriented: bool = False,
 ) -> tuple[DataFrame, FixpointRunner]:
-    """→ (labels(vertex, label=min id of component), runner with metrics)."""
-    init = canonicalize(edges).select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")
-    )  # orient src > dst
+    """→ (labels(vertex, label=min id of component), runner with metrics).
+
+    ``assume_oriented``: input is already deduped and oriented src > dst
+    (skips the canonicalization shuffle)."""
+    if assume_oriented:
+        init = edges.select("src", "dst")
+    else:
+        init = canonicalize(edges).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )  # orient src > dst
     runner = FixpointRunner(
         spark, "cc_stars", checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
     )
     prev_sum = {"v": None}
+    obs_holder: dict[int, Observation] = {}
 
     def step(state: DataFrame, it: int) -> DataFrame:
-        return _small_star(_large_star(state))
+        out = _small_star(_large_star(state))
+        obs = Observation()
+        obs_holder[it] = obs
+        # set-equality checksum observed during materialization (no extra
+        # job): count + XOR of per-edge hashes, sound because deduped
+        return out.observe(
+            obs,
+            F.count(F.lit(1)).alias("c"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        )
 
     def converged(new_state: DataFrame, it: int):
-        chk = _edge_checksum(new_state)
+        got = obs_holder.pop(it).get
+        chk = (got["c"], got["h"] or 0)
         changed = 0 if chk == prev_sum["v"] else 1
         prev_sum["v"] = chk
         return changed, {"edges": chk[0]}
@@ -234,28 +252,63 @@ def cc_two_phase(
     num_partitions: int | None = None,
     checkpoint_dir: str | None = None,
     max_iterations: int = 50,
+    final_local_threshold: int = 2_000_000,
+    assume_canonical: bool = False,
 ) -> tuple[DataFrame, FixpointRunner]:
-    """Local-UF contraction, then alternating stars on the contracted
-    graph. Contraction output is ≤ (#distinct vertices per partition)
-    rows per partition regardless of edge count, so the star rounds see a
-    graph smaller by the average local component size — the same
-    work-split as the MPI UF (local pass, then only cross-partition
-    (root, root) edges travel, /root/reference/src/mpi/cc_mpi.c:2018-2341).
+    """Local-UF contraction, then merge of the contracted graph.
+    Contraction output is ≤ (#distinct vertices per partition) rows per
+    partition regardless of edge count, so the merge phase sees a graph
+    smaller by the average local component size — the same work-split as
+    the MPI UF (local pass, then only cross-partition (root, root) edges
+    travel, /root/reference/src/mpi/cc_mpi.c:2018-2341).
+
+    Merge strategy: if the contracted graph fits comfortably on the
+    driver (< final_local_threshold rows) finish with one in-memory
+    union-find — the analog of the MPI version gathering final state at
+    rank 0 (/root/reference/src/mpi/cc_mpi.c:1393-1406) and ~10x cheaper
+    than log-rounds of star shuffles at that size. Above the threshold,
+    alternating large/small-star rounds (fully distributed, O(log n)
+    rounds) take over, so the operator has no driver-memory cliff at
+    10^12-vertex scale.
     """
     n = num_partitions or spark.sparkContext.defaultParallelism
-    canon = canonicalize(edges)
+    # ``assume_canonical`` skips the dedup shuffle when the caller already
+    # holds a canonical (src<dst, deduped, no-self-loop) edge table
+    canon = edges if assume_canonical else canonicalize(edges)
     contracted = (
         canon.repartition(n, "src")
         .mapInPandas(_local_uf_partition, schema="src long, dst long")
         .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
     )
-    labels, runner = cc_alternating_stars(
-        spark,
-        contracted,
-        vertices=None,
-        checkpoint_dir=checkpoint_dir,
-        max_iterations=max_iterations,
-    )
+    n_contracted = contracted.count()
+    if n_contracted <= final_local_threshold:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        cpdf = contracted.toPandas()  # Arrow path
+        mapping = union_find_oracle(
+            list(zip(cpdf["src"].tolist(), cpdf["dst"].tolist()))
+        )
+        runner = FixpointRunner(spark, "cc_two_phase_local", checkpoint_dir=None)
+        runner.metrics.append(
+            IterationMetrics(
+                0, 0, _time.perf_counter() - t0, extra={"merge": "driver_uf", "edges": n_contracted}
+            )
+        )
+        out = pd.DataFrame(
+            {"vertex": list(mapping.keys()), "label": list(mapping.values())}
+        )
+        labels = spark.createDataFrame(out)  # Arrow path back
+    else:
+        labels, runner = cc_alternating_stars(
+            spark,
+            contracted,  # local-UF output is already (vertex > root) deduped
+            vertices=None,
+            checkpoint_dir=checkpoint_dir,
+            max_iterations=max_iterations,
+            assume_oriented=True,
+        )
     # Contraction preserves the vertex set (every endpoint of `canon`
     # appears in the contracted output), so labels already cover all
     # non-isolated vertices; attach isolated ones if a vertex table came.
@@ -281,6 +334,7 @@ def cc_label_propagation(
     max_iterations: int = 200,
     resume: bool = False,
     prune_every: int = 0,
+    broadcast_vertex_threshold: int = 4_000_000,
 ) -> tuple[DataFrame, FixpointRunner]:
     """Jacobi-style min-label propagation
     (label_propagation_sync_omp, /root/reference/src/cc_openmp.c:38-142;
@@ -293,7 +347,14 @@ def cc_label_propagation(
     giant-component exclusion (/root/reference/src/cc_openmp.c:596-613)
     without the sampling step.
     """
-    verts = vertices.select(F.col("id")) if vertices is not None else vertices_of(edges_sym)
+    verts = (
+        vertices.select(F.col("id")) if vertices is not None else vertices_of(edges_sym)
+    ).localCheckpoint(eager=True)
+    n_verts = verts.count()
+    # same join-strategy reasoning as pagerank(): labels are the small,
+    # changing side — broadcast them while they fit so the static edge
+    # table never moves; above the threshold pre-partition edges once
+    small = n_verts <= broadcast_vertex_threshold
     init = verts.select(
         F.col("id").alias("vertex"),
         F.col("id").alias("label"),
@@ -302,16 +363,25 @@ def cc_label_propagation(
     runner = FixpointRunner(
         spark, "cc_lp", checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
     )
-    live_edges = {"df": edges_sym.select("src", "dst")}
+    e0 = edges_sym.select("src", "dst")
+    if not small:
+        e0 = e0.repartition(spark.sparkContext.defaultParallelism, "src").persist()
+        e0.count()
+    live_edges = {"df": e0}
+    obs_holder: dict[int, Observation] = {}
 
     def step(state: DataFrame, it: int) -> DataFrame:
         senders = state.filter("changed") if frontier else state
+        senders = senders.select(F.col("vertex").alias("src"), "label")
+        senders = F.broadcast(senders) if small else senders.hint("shuffle_hash")
         msgs = (
             live_edges["df"]
-            .join(senders.select(F.col("vertex").alias("src"), "label"), "src")
+            .join(senders, "src")
             .select(F.col("dst").alias("vertex"), "label")
         )
         cand = msgs.groupBy("vertex").agg(F.min("label").alias("cand"))
+        obs = Observation()
+        obs_holder[it] = obs
         return (
             state.select("vertex", "label")
             .join(cand, "vertex", "left")
@@ -320,10 +390,11 @@ def cc_label_propagation(
                 F.least(F.col("label"), F.coalesce("cand", F.col("label"))).alias("label"),
                 (F.coalesce("cand", F.col("label")) < F.col("label")).alias("changed"),
             )
+            .observe(obs, F.sum(F.col("changed").cast("long")).alias("changed"))
         )
 
     def converged(new_state: DataFrame, it: int):
-        changed = new_state.filter("changed").count()
+        changed = obs_holder.pop(it).get["changed"] or 0
         if prune_every and changed and (it + 1) % prune_every == 0:
             lab = new_state.select("vertex", "label")
             e = (

@@ -87,12 +87,16 @@ def minhash_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 8,
+    num_perm: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into bands; documents sharing
     any band collide. → (a, b) canonical candidate pairs."""
-    # rows_per_band derived from the runtime array length to stay generic
-    sig_len = signatures.select(F.size("sig").alias("n")).limit(1).collect()
-    n = sig_len[0]["n"] if sig_len else 0
+    if num_perm is None:
+        # derive from the runtime array length (costs one small job —
+        # callers on the hot path pass num_perm explicitly)
+        sig_len = signatures.select(F.size("sig").alias("n")).limit(1).collect()
+        num_perm = sig_len[0]["n"] if sig_len else 0
+    n = num_perm
     rows_per_band = max(1, n // num_bands)
     banded = signatures.select(
         F.col(id_col).alias("_id"),
@@ -130,9 +134,15 @@ def minhash_near_duplicates(
     seed: int = 42,
 ) -> DataFrame:
     """Candidate pairs verified by estimated Jaccard = fraction of equal
-    signature components ≥ threshold → (a, b, est_jaccard)."""
-    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n, seed)
-    cands = minhash_candidate_pairs(sigs, id_col, num_bands)
+    signature components ≥ threshold → (a, b, est_jaccard).
+
+    Signatures are materialized once (localCheckpoint) — they feed the
+    banding join and both sides of the verify join; without pinning they
+    recompute the shingle explode + k-way min 3×."""
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_perm, shingle_n, seed
+    ).localCheckpoint(eager=True)
+    cands = minhash_candidate_pairs(sigs, id_col, num_bands, num_perm=num_perm)
     sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
     est = (
@@ -240,7 +250,7 @@ def ngram_jaccard_pairs(
     → (a, b, jaccard). The inverted-index join is the scale path: pairs
     never materialize unless they share a shingle; stopword-only shingle
     skew is bounded by an optional document-frequency cap."""
-    sv = _shingle_values(docs, id_col, text_col, shingle_n)
+    sv = _shingle_values(docs, id_col, text_col, shingle_n).localCheckpoint(eager=True)
     sizes = sv.groupBy("_id").agg(F.count("*").alias("n_sh"))
     left = sv.select(F.col("x"), F.col("_id").alias("a"))
     right = sv.select(F.col("x"), F.col("_id").alias("b"))

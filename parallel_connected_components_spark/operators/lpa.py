@@ -20,7 +20,7 @@ max_by with a packed (count, -label) ordering key, avoiding a window sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..plans.runner import FixpointRunner
 from .graph import vertices_of
@@ -32,9 +32,13 @@ def label_propagation_communities(
     vertices: DataFrame | None = None,
     max_iterations: int = 20,
     checkpoint_dir: str | None = None,
+    broadcast_vertex_threshold: int = 4_000_000,
 ) -> tuple[DataFrame, FixpointRunner]:
     """→ (labels(vertex, label), runner). ``edges_sym`` symmetrized."""
-    verts = vertices.select("id") if vertices is not None else vertices_of(edges_sym)
+    verts = (
+        vertices.select("id") if vertices is not None else vertices_of(edges_sym)
+    ).localCheckpoint(eager=True)
+    small = verts.count() <= broadcast_vertex_threshold
     init = verts.select(F.col("id").alias("vertex"), F.col("id").alias("label"))
     # LPA may oscillate on bipartite structures; hitting the cap returns
     # the last state rather than raising (the reference's bounded loops:
@@ -44,10 +48,16 @@ def label_propagation_communities(
         raise_on_cap=False,
     )
     e = edges_sym.select("src", "dst")
+    if not small:
+        e = e.repartition(spark.sparkContext.defaultParallelism, "src").persist()
+        e.count()
+    obs_holder: dict[int, Observation] = {}
 
     def step(state: DataFrame, it: int) -> DataFrame:
+        lab = state.select(F.col("vertex").alias("src"), "label")
+        lab = F.broadcast(lab) if small else lab.hint("shuffle_hash")
         counts = (
-            e.join(state.select(F.col("vertex").alias("src"), "label"), "src")
+            e.join(lab, "src")
             .groupBy(F.col("dst").alias("vertex"), "label")
             .agg(F.count("*").alias("cnt"))
         )
@@ -55,6 +65,8 @@ def label_propagation_communities(
         best = counts.groupBy("vertex").agg(
             F.max_by("label", F.struct(F.col("cnt"), -F.col("label"))).alias("new_label")
         )
+        obs = Observation()
+        obs_holder[it] = obs
         return (
             state.select("vertex", F.col("label").alias("old_label"))
             .join(best, "vertex", "left")
@@ -63,10 +75,14 @@ def label_propagation_communities(
                 F.coalesce("new_label", F.col("old_label")).alias("label"),
                 "old_label",
             )
+            .observe(
+                obs,
+                F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("changed"),
+            )
         )
 
     def converged(new_state: DataFrame, it: int):
-        changed = new_state.filter(F.col("label") != F.col("old_label")).count()
+        changed = obs_holder.pop(it).get["changed"] or 0
         return changed, {}
 
     final = runner.run(init.withColumn("old_label", F.col("label")), step, converged)

@@ -23,7 +23,7 @@ mass, L1 delta). The out-degree table is computed once and reused.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..plans.runner import FixpointRunner
 from .graph import vertices_of
@@ -37,11 +37,28 @@ def pagerank(
     max_iterations: int = 100,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    broadcast_vertex_threshold: int = 4_000_000,
 ) -> tuple[DataFrame, FixpointRunner]:
-    """→ (ranks(vertex long, rank double), runner). ``edges`` is directed."""
+    """→ (ranks(vertex long, rank double), runner). ``edges`` is directed.
+
+    Join strategy (the per-iteration hot path): when |V| ≤
+    ``broadcast_vertex_threshold`` the per-vertex weight table is
+    explicitly broadcast — the edge table then never moves (without the
+    hint, Catalyst sees no stats on the checkpointed ranks side and
+    broadcasts the much larger *edges* every iteration). Above the
+    threshold, edges are hash-partitioned on src once and persisted so
+    each iteration's shuffle-hash join moves only the rank table — the
+    ghost-exchange pattern (/root/reference/src/mpi/cc_mpi.c:950-1049):
+    static topology stays put, per-iteration state travels."""
     e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
     verts = vertices_of(e).localCheckpoint(eager=True)
     n = verts.count()
+    small = n <= broadcast_vertex_threshold
+    if small:
+        e = e.localCheckpoint(eager=True)
+    else:
+        e = e.repartition(spark.sparkContext.defaultParallelism, "src").persist()
+        e.count()
     outdeg = e.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("outdeg"))
     # vertex table with outdeg (0 for dangling), reused every iteration
     vo = (
@@ -56,24 +73,44 @@ def pagerank(
         spark, "pagerank", checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
     )
 
+    # dangling mass for the *next* step is computed inside the same
+    # aggregate as the convergence delta (one job per iteration instead
+    # of two scalar actions); seeded from the state we actually start at
+    # (the latest durable snapshot when resuming).
+    seed_state = init
+    if resume:
+        got = runner.latest()
+        if got is not None:
+            seed_state = got[0]
+    dangling_holder = {
+        "v": seed_state.filter(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0]
+        or 0.0
+    }
+
+    # convergence delta + next-iteration dangling mass ride along the
+    # state materialization via Observation — zero extra jobs per
+    # iteration (the C analog computes `changed` inside the same parallel
+    # loop that writes labels, /root/reference/src/cc_openmp.c:92-118).
+    obs_holder: dict[int, Observation] = {}
+
     def step(state: DataFrame, it: int) -> DataFrame:
-        dangling = (
-            state.filter(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+        dangling = dangling_holder["v"]
+        # dangling vertices (outdeg=0) send no edge mass — filter
+        # before the divide (ANSI mode makes x/0 an error, not inf)
+        w = state.filter(F.col("outdeg") > 0).select(
+            F.col("vertex").alias("src"), (F.col("rank") / F.col("outdeg")).alias("w")
         )
+        if small:
+            w = F.broadcast(w)
+        else:
+            w = w.hint("shuffle_hash")
         contribs = (
-            e.join(
-                # dangling vertices (outdeg=0) send no edge mass — filter
-                # before the divide (ANSI mode makes x/0 an error, not inf)
-                state.filter(F.col("outdeg") > 0)
-                .select(F.col("vertex").alias("src"),
-                        (F.col("rank") / F.col("outdeg")).alias("w")),
-                "src",
-            )
+            e.join(w, "src")
             .groupBy(F.col("dst").alias("vertex"))
             .agg(F.sum("w").alias("contrib"))
         )
         base = (1.0 - damping) / n + damping * dangling / n
-        return (
+        new_state = (
             state.select("vertex", "outdeg", F.col("rank").alias("prev_rank"))
             .join(contribs, "vertex", "left")
             .select(
@@ -83,12 +120,20 @@ def pagerank(
                 "prev_rank",
             )
         )
+        obs = Observation()
+        obs_holder[it] = obs
+        return new_state.observe(
+            obs,
+            F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
+            F.sum(
+                F.when(F.col("outdeg") == 0, F.col("rank")).otherwise(F.lit(0.0))
+            ).alias("dangling"),
+        )
 
     def converged(new_state: DataFrame, it: int):
-        delta = (
-            new_state.agg(F.sum(F.abs(F.col("rank") - F.col("prev_rank")))).collect()[0][0]
-            or 0.0
-        )
+        got = obs_holder.pop(it).get
+        delta = got["delta"] or 0.0
+        dangling_holder["v"] = got["dangling"] or 0.0
         return (0 if delta < tol else 1), {"l1_delta": delta}
 
     final = runner.run(init.withColumn("prev_rank", F.col("rank")), step, converged, resume=resume)
