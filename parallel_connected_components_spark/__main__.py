@@ -1,0 +1,135 @@
+"""CLI entry point — the spark-submit deployment surface.
+
+Usage (local):
+    python -m parallel_connected_components_spark cc --pages <parquet> --out <dir>
+Usage (cluster, per the north rule):
+    spark-submit --py-files pccs.zip -m ... is equivalent to shipping this
+    package and running the same subcommands; get_spark() defers to the
+    launcher's master when SPARK_GRAFT_MASTER/spark-submit provides one.
+
+Subcommands mirror the reference's three binaries (cc_sequential /
+cc_openmp / cc_mpi all compute the same thing on one graph,
+/root/reference/src/main.c:60-163) plus the target-only algorithms:
+
+    gen        synthesize a deterministic pages table
+    cc         connected components over a pages or edges table
+    pagerank   PageRank to 1e-6
+    lpa        community label propagation
+    triangles  triangle count
+    stats      degree + component statistics
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from .operators import (
+    canonicalize,
+    cc_two_phase,
+    component_stats,
+    count_components,
+    degree_stats,
+    edges_from_pages,
+    label_propagation_communities,
+    pagerank,
+    symmetrize,
+    triangle_count,
+    vertices_from_pages,
+)
+from .session import get_spark
+from .sources import gen_pages, read_mtx
+
+
+def _load_edges(spark, args):
+    if args.pages:
+        pages = spark.read.parquet(args.pages)
+        return edges_from_pages(pages), vertices_from_pages(pages)
+    if args.edges:
+        return spark.read.parquet(args.edges), None
+    if args.mtx:
+        edges, _ = read_mtx(spark, args.mtx)
+        return edges, None
+    raise SystemExit("one of --pages/--edges/--mtx is required")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="parallel_connected_components_spark")
+    p.add_argument("command", choices=["gen", "cc", "pagerank", "lpa", "triangles", "stats"])
+    p.add_argument("--pages", help="pages parquet path (url/warc_ts/html/text/lang)")
+    p.add_argument("--edges", help="edges parquet path (src/dst)")
+    p.add_argument("--mtx", help="Matrix Market file")
+    p.add_argument("--out", help="output parquet dir (labels/ranks)")
+    p.add_argument("--num-pages", type=int, default=10000)
+    p.add_argument("--num-components", type=int, default=8)
+    p.add_argument("--links-per-page", type=int, default=3)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--checkpoint-dir", help="durable snapshot dir (resumable)")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--max-iterations", type=int, default=100)
+    p.add_argument("--cores", type=int, default=None)
+    args = p.parse_args(argv)
+
+    spark = get_spark(f"pccs-{args.command}", cores=args.cores)
+    out: dict = {"command": args.command}
+    try:
+        if args.command == "gen":
+            if not args.out:
+                raise SystemExit("gen requires --out")
+            pages = gen_pages(
+                spark, args.num_pages, args.num_components, args.links_per_page, args.seed
+            )
+            pages.write.mode("overwrite").parquet(args.out)
+            out["pages"] = args.num_pages
+        elif args.command == "cc":
+            edges, verts = _load_edges(spark, args)
+            labels, runner = cc_two_phase(
+                spark, edges, vertices=verts, checkpoint_dir=args.checkpoint_dir
+            )
+            out["num_components"] = count_components(labels)
+            out["iterations"] = runner.num_iterations
+            if args.out:
+                labels.write.mode("overwrite").parquet(args.out)
+        elif args.command == "pagerank":
+            edges, _ = _load_edges(spark, args)
+            ranks, runner = pagerank(
+                spark,
+                canonicalize(edges),
+                tol=args.tol,
+                max_iterations=args.max_iterations,
+                checkpoint_dir=args.checkpoint_dir,
+                resume=args.resume,
+            )
+            out["iterations"] = runner.num_iterations
+            out["l1_delta"] = runner.metrics[-1].extra.get("l1_delta")
+            if args.out:
+                ranks.write.mode("overwrite").parquet(args.out)
+        elif args.command == "lpa":
+            edges, _ = _load_edges(spark, args)
+            labels, runner = label_propagation_communities(
+                spark, symmetrize(edges), max_iterations=min(args.max_iterations, 20)
+            )
+            out["num_communities"] = count_components(labels)
+            out["iterations"] = runner.num_iterations
+            if args.out:
+                labels.write.mode("overwrite").parquet(args.out)
+        elif args.command == "triangles":
+            edges, _ = _load_edges(spark, args)
+            out["triangles"] = triangle_count(spark, edges, orient_by_degree=True)
+        elif args.command == "stats":
+            edges, verts = _load_edges(spark, args)
+            out["degrees"] = degree_stats(symmetrize(edges)).collect()[0].asDict()
+            labels, _ = cc_two_phase(spark, edges, vertices=verts)
+            out["components"] = component_stats(labels).collect()[0].asDict()
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -233,10 +233,12 @@ def _local_uf_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         return root
 
     for pdf in batches:
-        for u, v in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+        # .tolist() up front: iterating Python ints is ~2x faster than
+        # numpy scalars in this per-edge loop
+        for u, v in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
             if u == v:
                 continue
-            ru, rv = find(int(u)), find(int(v))
+            ru, rv = find(u), find(v)
             if ru != rv:
                 lo, hi = (ru, rv) if ru < rv else (rv, ru)
                 parent[hi] = lo
@@ -334,7 +336,6 @@ def cc_label_propagation(
     max_iterations: int = 200,
     resume: bool = False,
     prune_every: int = 0,
-    broadcast_vertex_threshold: int = 4_000_000,
 ) -> tuple[DataFrame, FixpointRunner]:
     """Jacobi-style min-label propagation
     (label_propagation_sync_omp, /root/reference/src/cc_openmp.c:38-142;
@@ -350,11 +351,6 @@ def cc_label_propagation(
     verts = (
         vertices.select(F.col("id")) if vertices is not None else vertices_of(edges_sym)
     ).localCheckpoint(eager=True)
-    n_verts = verts.count()
-    # same join-strategy reasoning as pagerank(): labels are the small,
-    # changing side — broadcast them while they fit so the static edge
-    # table never moves; above the threshold pre-partition edges once
-    small = n_verts <= broadcast_vertex_threshold
     init = verts.select(
         F.col("id").alias("vertex"),
         F.col("id").alias("label"),
@@ -363,23 +359,28 @@ def cc_label_propagation(
     runner = FixpointRunner(
         spark, "cc_lp", checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
     )
-    e0 = edges_sym.select("src", "dst")
-    if not small:
-        e0 = e0.repartition(spark.sparkContext.defaultParallelism, "src").persist()
-        e0.count()
+    # edges partitioned on src once; per-iteration shuffle moves only the
+    # (shrinking) frontier labels — see pagerank() for the plan-shape
+    # rationale (ghost-exchange + post-exchange aggregation)
+    n_part = spark.sparkContext.defaultParallelism
+    e0 = edges_sym.select("src", "dst").repartition(n_part, "src").persist()
+    e0.count()
     live_edges = {"df": e0}
     obs_holder: dict[int, Observation] = {}
 
     def step(state: DataFrame, it: int) -> DataFrame:
         senders = state.filter("changed") if frontier else state
-        senders = senders.select(F.col("vertex").alias("src"), "label")
-        senders = F.broadcast(senders) if small else senders.hint("shuffle_hash")
+        senders = senders.select(F.col("vertex").alias("src"), "label").hint("shuffle_hash")
         msgs = (
             live_edges["df"]
             .join(senders, "src")
             .select(F.col("dst").alias("vertex"), "label")
         )
-        cand = msgs.groupBy("vertex").agg(F.min("label").alias("cand"))
+        cand = (
+            msgs.repartition(n_part, "vertex")
+            .groupBy("vertex")
+            .agg(F.min("label").alias("cand"))
+        )
         obs = Observation()
         obs_holder[it] = obs
         return (
@@ -409,4 +410,5 @@ def cc_label_propagation(
         return changed, {}
 
     final = runner.run(init, step, converged, resume=resume)
+    e0.unpersist()
     return final.select("vertex", "label"), runner

@@ -32,13 +32,11 @@ def label_propagation_communities(
     vertices: DataFrame | None = None,
     max_iterations: int = 20,
     checkpoint_dir: str | None = None,
-    broadcast_vertex_threshold: int = 4_000_000,
 ) -> tuple[DataFrame, FixpointRunner]:
     """→ (labels(vertex, label), runner). ``edges_sym`` symmetrized."""
     verts = (
         vertices.select("id") if vertices is not None else vertices_of(edges_sym)
     ).localCheckpoint(eager=True)
-    small = verts.count() <= broadcast_vertex_threshold
     init = verts.select(F.col("id").alias("vertex"), F.col("id").alias("label"))
     # LPA may oscillate on bipartite structures; hitting the cap returns
     # the last state rather than raising (the reference's bounded loops:
@@ -47,18 +45,20 @@ def label_propagation_communities(
         spark, "lpa", checkpoint_dir=checkpoint_dir, max_iterations=max_iterations,
         raise_on_cap=False,
     )
-    e = edges_sym.select("src", "dst")
-    if not small:
-        e = e.repartition(spark.sparkContext.defaultParallelism, "src").persist()
-        e.count()
+    # see pagerank() for the plan-shape rationale (src-partitioned edges,
+    # post-exchange aggregation)
+    n_part = spark.sparkContext.defaultParallelism
+    e = edges_sym.select("src", "dst").repartition(n_part, "src").persist()
+    e.count()
     obs_holder: dict[int, Observation] = {}
 
     def step(state: DataFrame, it: int) -> DataFrame:
-        lab = state.select(F.col("vertex").alias("src"), "label")
-        lab = F.broadcast(lab) if small else lab.hint("shuffle_hash")
+        lab = state.select(F.col("vertex").alias("src"), "label").hint("shuffle_hash")
         counts = (
             e.join(lab, "src")
-            .groupBy(F.col("dst").alias("vertex"), "label")
+            .select(F.col("dst").alias("vertex"), "label")
+            .repartition(n_part, "vertex")
+            .groupBy("vertex", "label")
             .agg(F.count("*").alias("cnt"))
         )
         # argmax by (cnt, -label): most frequent, smallest label on ties
@@ -86,4 +86,5 @@ def label_propagation_communities(
         return changed, {}
 
     final = runner.run(init.withColumn("old_label", F.col("label")), step, converged)
+    e.unpersist()
     return final.select("vertex", "label"), runner

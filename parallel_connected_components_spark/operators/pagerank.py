@@ -37,28 +37,30 @@ def pagerank(
     max_iterations: int = 100,
     checkpoint_dir: str | None = None,
     resume: bool = False,
-    broadcast_vertex_threshold: int = 4_000_000,
 ) -> tuple[DataFrame, FixpointRunner]:
     """→ (ranks(vertex long, rank double), runner). ``edges`` is directed.
 
-    Join strategy (the per-iteration hot path): when |V| ≤
-    ``broadcast_vertex_threshold`` the per-vertex weight table is
-    explicitly broadcast — the edge table then never moves (without the
-    hint, Catalyst sees no stats on the checkpointed ranks side and
-    broadcasts the much larger *edges* every iteration). Above the
-    threshold, edges are hash-partitioned on src once and persisted so
-    each iteration's shuffle-hash join moves only the rank table — the
-    ghost-exchange pattern (/root/reference/src/mpi/cc_mpi.c:950-1049):
-    static topology stays put, per-iteration state travels."""
+    Per-iteration plan shape (measured on an 18M-edge graph, see git
+    history for the alternatives that lost):
+    - the edge table is hash-partitioned on src ONCE and persisted; the
+      per-iteration shuffle-hash join then moves only the rank table —
+      the ghost-exchange pattern (/root/reference/src/mpi/cc_mpi.c:950-1049):
+      static topology stays put, per-iteration state travels. No
+      broadcast: a broadcast of either side rebuilds a hashed relation on
+      the driver every iteration — serial work that caps scaling (and
+      Catalyst, seeing no stats on the checkpointed rank side, would
+      otherwise broadcast the *edges*).
+    - messages are explicitly re-exchanged on dst BEFORE the sum
+      aggregation. Without it the map-side partial aggregation sees ~|V|
+      distinct keys per task with multiplicity < 1 — a giant hash table
+      that combines nothing; after the exchange each task owns its keys
+      and the partial agg combines at full in-degree multiplicity."""
     e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
     verts = vertices_of(e).localCheckpoint(eager=True)
     n = verts.count()
-    small = n <= broadcast_vertex_threshold
-    if small:
-        e = e.localCheckpoint(eager=True)
-    else:
-        e = e.repartition(spark.sparkContext.defaultParallelism, "src").persist()
-        e.count()
+    n_part = spark.sparkContext.defaultParallelism
+    e = e.repartition(n_part, "src").persist()
+    e.count()
     outdeg = e.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("outdeg"))
     # vertex table with outdeg (0 for dangling), reused every iteration
     vo = (
@@ -99,13 +101,11 @@ def pagerank(
         # before the divide (ANSI mode makes x/0 an error, not inf)
         w = state.filter(F.col("outdeg") > 0).select(
             F.col("vertex").alias("src"), (F.col("rank") / F.col("outdeg")).alias("w")
-        )
-        if small:
-            w = F.broadcast(w)
-        else:
-            w = w.hint("shuffle_hash")
+        ).hint("shuffle_hash")
         contribs = (
             e.join(w, "src")
+            .select("dst", "w")
+            .repartition(n_part, "dst")
             .groupBy(F.col("dst").alias("vertex"))
             .agg(F.sum("w").alias("contrib"))
         )
@@ -137,6 +137,7 @@ def pagerank(
         return (0 if delta < tol else 1), {"l1_delta": delta}
 
     final = runner.run(init.withColumn("prev_rank", F.col("rank")), step, converged, resume=resume)
+    e.unpersist()
     return final.select("vertex", "rank"), runner
 
 

@@ -57,6 +57,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle spill through tmpfs when available: local-mode shuffles
+    # otherwise serialize on one disk and flatten the core-scaling curve
+    # (on a real cluster each executor brings its own disks/NVMe).
+    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm")
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        builder = builder.config("spark.local.dir", os.path.join(shm, "pccs-spark"))
     # Under spark-submit on a cluster the master comes from the launcher;
     # standalone (tests, bench) we pin local[n].
     if "SPARK_GRAFT_MASTER" in os.environ:
