@@ -482,6 +482,84 @@ def build_queries():
         FROM documents""",
     )
 
+    # ---------------- window functions over events ---------------------------
+    def _running(spark, sf):
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return ev.select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+            F.sum("value").over(w).alias("running_value"),
+        )
+
+    q(
+        "events_running_value",
+        _running,
+        """SELECT event_id, user_id,
+               row_number() OVER w AS rn,
+               sum(value) OVER w AS running_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    )
+
+    def _sessions(spark, sf):
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+            F.lag(F.col("ts").cast("timestamp")).over(w)
+        )
+        marked = ev.select(
+            "user_id",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+        )
+        return marked.groupBy("user_id").agg(
+            F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+        )
+
+    q(
+        "events_sessions",
+        _sessions,
+        """WITH g AS (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           IS NULL
+                       OR date_diff('second',
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                            ts) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        )
+        SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        FROM g GROUP BY user_id""",
+    )
+
+    def _top_events(spark, sf):
+        from .operators.skew import salted_topk_per_key
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id", "event_id", "value"
+        )
+        return salted_topk_per_key(
+            ev, "user_id", "value", k=3, tiebreak_col="event_id"
+        ).select("user_id", "event_id")
+
+    q(
+        "top_events_per_user",
+        _top_events,
+        """SELECT user_id, event_id FROM (
+          SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id ASC) AS rn
+          FROM events
+        ) WHERE rn <= 3""",
+    )
+
     # ---------------- events / OLAP ----------------------------------------
     q(
         "events_hourly",
