@@ -31,3 +31,58 @@ def test_stream_equals_batch(spark, tmp_path):
     assert got.count() == batch.count()
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_stateful_user_totals_parity(spark, tmp_path):
+    """applyInPandasWithState running totals: last update per user over a
+    drained stream == batch groupBy. Input split into two files so state
+    must carry across input splits."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parallel_connected_components_spark.streaming.stateful import (
+        batch_user_totals,
+        streaming_user_totals,
+    )
+
+    events = spark.read.parquet(SRC)
+    src_dir = str(tmp_path / "ev_state")
+    os.makedirs(src_dir, exist_ok=True)
+    a = events.filter("event_id % 2 = 0")
+    b = events.filter("event_id % 2 = 1")
+    a.write.mode("overwrite").parquet(os.path.join(src_dir, "f1"))
+    b.write.mode("overwrite").parquet(os.path.join(src_dir, "f2"))
+
+    stream = streaming_user_totals(
+        spark, f"{src_dir}/*", schema_from=SRC
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("user_totals")
+    # update mode may emit a row per micro-batch: keep the last (= max
+    # n_events) per user
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    last = (
+        got.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "n_events", "sum_value")
+    )
+    batch = batch_user_totals(events)
+    assert last.count() == batch.count()
+    joined = last.join(batch.withColumnsRenamed(
+        {"n_events": "bn", "sum_value": "bs"}), "user_id")
+    bad = joined.filter(
+        (F.col("n_events") != F.col("bn"))
+        | (F.abs(F.col("sum_value") - F.col("bs")) > 1e-9)
+    )
+    assert bad.count() == 0
