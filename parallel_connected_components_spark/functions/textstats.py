@@ -130,13 +130,21 @@ def fingerprint_col(text: Column | str) -> Column:
 
 def shingles_col(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>); documents shorter than n
-    words get a single shingle = the whole normalized text."""
-    words = words_col(normalized_text_col(text))
+    words get a single shingle = the whole normalized text.
+
+    PERFORMANCE NOTE: higher-order-function lambdas re-evaluate
+    non-attribute child expressions per element — referencing the
+    tokenization chain inline here costs ~25x (measured). Hot paths must
+    use :func:`shingles_from_words` over a *materialized* words column;
+    this convenience form is for small/test data."""
+    return shingles_from_words(words_col(normalized_text_col(text)), n)
+
+
+def shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Shingles from an (ideally attribute-referenced) words array."""
     k = F.size(words) - (n - 1)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(words, i, n)),
     )
-    return F.when(k >= 1, grams).otherwise(
-        F.array(F.concat_ws(" ", words))
-    )
+    return F.when(k >= 1, grams).otherwise(F.array(F.concat_ws(" ", words)))

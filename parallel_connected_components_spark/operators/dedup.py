@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.hashing import MERSENNE_31, minhash_params, portable_hash64_col
-from ..functions.textstats import fingerprint_col, normalized_text_col, shingles_col
+from ..functions.textstats import (
+    fingerprint_col,
+    normalized_text_col,
+    shingles_from_words,
+    words_col,
+)
 
 
 # --------------------------------------------------------------------------
@@ -51,9 +56,15 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def _shingle_values(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, x): distinct shingle hash values reduced into the 31-bit
-    field the permutations operate in."""
+    field the permutations operate in. Words are materialized as a column
+    BEFORE the shingle lambda — HOF lambdas re-evaluate inline child
+    expressions per element (~25x measured on the tokenizer chain)."""
+    words = docs.select(
+        F.col(id_col).alias("_id"),
+        words_col(normalized_text_col(text_col)).alias("_w"),
+    )
     return (
-        docs.select(F.col(id_col).alias("_id"), F.explode(shingles_col(text_col, n)).alias("sh"))
+        words.select("_id", F.explode(shingles_from_words(F.col("_w"), n)).alias("sh"))
         .select("_id", F.pmod(portable_hash64_col(F.col("sh")), F.lit(MERSENNE_31)).alias("x"))
         .dropDuplicates(["_id", "x"])
     )
@@ -165,14 +176,11 @@ def minhash_near_duplicates(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash_col(text: Column | str, bits: int = 64) -> Column:
-    """64-bit SimHash of the word multiset, as a Catalyst expression:
-    per word w with hash h, each bit j votes sign((h>>j)&1); the
-    signature bit j is 1 iff the aggregate vote is positive. Computed
-    with an array fold over the words array (no explode, no shuffle —
-    a pure projection)."""
-    words = F.split(normalized_text_col(text), " ")
-    hashes = F.transform(words, lambda w: portable_hash64_col(w))
+def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
+    """SimHash from an (attribute-referenced) array of word hashes: per
+    word hash h, each bit j votes sign((h>>j)&1); signature bit j is 1
+    iff the aggregate vote is positive. Array folds — no explode, no
+    shuffle, a pure projection."""
     bit_votes = [
         F.aggregate(
             hashes,
@@ -188,12 +196,32 @@ def simhash_col(text: Column | str, bits: int = 64) -> Column:
     return out
 
 
+def simhash_col(text: Column | str, bits: int = 64) -> Column:
+    """Convenience single-expression form (small/test data — see the HOF
+    re-evaluation note in textstats.shingles_col; hot paths use
+    :func:`simhash_signatures`, which materializes the hash array once)."""
+    words = F.split(normalized_text_col(text), " ")
+    return _simhash_from_hashes(F.transform(words, portable_hash64_col), bits)
+
+
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
 ) -> DataFrame:
     """(id, simhash long). 60 bits by default: 1<<j stays positive int64
-    and the 4×15-bit band split is exact."""
-    return docs.select(F.col(id_col), simhash_col(text_col, bits).alias("simhash"))
+    and the 4×15-bit band split is exact. Two projections: the per-word
+    hash array materializes first so the 60 bit-vote folds walk an
+    attribute, not the md5 chain (HOF re-evaluation, ~bits× otherwise)."""
+    # two-step select is enough: CollapseProject declines to inline a
+    # non-cheap alias referenced more than once (measured in git history)
+    hashed = docs.select(
+        F.col(id_col),
+        F.transform(
+            F.split(normalized_text_col(text_col), " "), portable_hash64_col
+        ).alias("_hs"),
+    )
+    return hashed.select(
+        F.col(id_col), _simhash_from_hashes(F.col("_hs"), bits).alias("simhash")
+    )
 
 
 def simhash_near_duplicates(
