@@ -23,7 +23,9 @@ from .triangles import triangle_count, triangles_per_vertex  # noqa: F401
 from .stats import (  # noqa: F401
     component_sizes,
     component_stats,
+    count_components_approx,
     exclude_giant_component,
     giant_component_sample,
     top_components,
 )
+from .skew import packed_adjacency, salted_topk_per_key  # noqa: F401

@@ -33,6 +33,13 @@ def component_stats(labels: DataFrame) -> DataFrame:
     )
 
 
+def count_components_approx(labels: DataFrame, rsd: float = 0.02) -> int:
+    """HyperLogLog++ estimate of the component count — the cheap variant
+    of count_unique_labels for 10^12-vertex label tables where the exact
+    distinct's shuffle is not worth it (SURVEY §2.3 A2 note)."""
+    return labels.select(F.approx_count_distinct("label", rsd)).collect()[0][0]
+
+
 def top_components(labels: DataFrame, k: int = 10) -> DataFrame:
     """Largest k components — orderBy+limit = TakeOrdered, the plan the
     reference hand-rolls as parallel argmax (SURVEY.md §2.3 A8)."""

@@ -130,3 +130,12 @@ def test_giant_component_sample_and_exclusion(spark):
     assert giant == 0
     remaining = exclude_giant_component(spark, symmetrize(edges), labels, giant)
     assert remaining.count() == 2 * 5  # only the small components' edges
+
+
+def test_count_components_approx(spark):
+    from parallel_connected_components_spark.operators import count_components_approx
+
+    edge_list = gen_component_graph(2000, 40, 2, seed=21)
+    labels, _ = cc_two_phase(spark, spark.createDataFrame(edge_list, "src long, dst long"))
+    est = count_components_approx(labels)
+    assert abs(est - 40) <= 3  # HLL++ at rsd=0.02 on 40 distinct values
