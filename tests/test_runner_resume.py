@@ -66,3 +66,33 @@ def test_resume_without_snapshot_starts_fresh(spark, tmp_path):
     final = r.run(init, step, conv, resume=True)
     assert final.collect()[0]["n"] == 0
     assert r.metrics[0].iteration == 0
+
+
+def test_pagerank_resume_matches_uninterrupted(spark, tmp_path):
+    """Cap a checkpointed PageRank mid-run, then resume: final ranks must
+    equal the uninterrupted run's (north rule: resumable mid-iteration)."""
+    import pytest as _pytest
+
+    from parallel_connected_components_spark.operators import pagerank
+    from tests.test_cc import gen_component_graph
+
+    edges = spark.createDataFrame(
+        gen_component_graph(200, 4, 2, seed=31), "src long, dst long"
+    )
+    full, _ = pagerank(spark, edges, tol=1e-8)
+    # interrupted: snapshot every 2 iterations, die at 5
+    r1 = FixpointRunner  # noqa: F841  (import retained above)
+    with _pytest.raises(RuntimeError):
+        pagerank(
+            spark, edges, tol=1e-8, max_iterations=5,
+            checkpoint_dir=str(tmp_path),
+        )
+    resumed, runner = pagerank(
+        spark, edges, tol=1e-8, checkpoint_dir=str(tmp_path), resume=True
+    )
+    assert runner.metrics[0].iteration > 0  # actually resumed, not restarted
+    f = {r["vertex"]: r["rank"] for r in full.collect()}
+    g = {r["vertex"]: r["rank"] for r in resumed.collect()}
+    assert set(f) == set(g)
+    for v in f:
+        assert g[v] == _pytest.approx(f[v], abs=1e-9)
