@@ -107,11 +107,15 @@ def knn_lsh(
     num_planes: int = 6,
     multiprobe_hamming: int = 1,
     seed: int = 42,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose hyperplane sketch is
     within ``multiprobe_hamming`` bits of the query's sketch. Same output
-    schema as brute force; recall measured in tests."""
+    schema as brute force; recall measured in tests. ``dim`` defaults to
+    the measured vector length (one tiny job)."""
+    if dim is None:
+        row = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
+        dim = row[0]["d"] if row else 0
     sk = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("nv"),

@@ -130,3 +130,13 @@ def test_normalize_labels(spark):
 
 def test_vertices_of(spark, golden_edges):
     assert {r["id"] for r in vertices_of(golden_edges).collect()} == set(range(6))
+
+
+def test_label_prop_prune_every(spark):
+    """Edge pruning (the giant-component exclusion generalized): same
+    labels with and without prune_every."""
+    base = gen_component_graph(300, 6, 3, seed=17)
+    sym = symmetrize(spark.createDataFrame(base, "src long, dst long"))
+    plain = labels_dict(cc_label_propagation(spark, sym)[0])
+    pruned = labels_dict(cc_label_propagation(spark, sym, prune_every=2)[0])
+    assert plain == pruned == union_find_oracle(base)
