@@ -40,6 +40,7 @@ from .functions.textstats import (
     token_count_col,
 )
 from .operators.cc import (
+    cc_afforest,
     cc_alternating_stars,
     cc_label_propagation,
     cc_two_phase,
@@ -47,10 +48,10 @@ from .operators.cc import (
 from .operators.dedup import exact_duplicates, minhash_signatures, simhash_signatures
 from .operators.graph import canonicalize, degree_stats, degrees, symmetrize
 from .operators.lpa import label_propagation_communities
-from .operators.pagerank import pagerank
+from .operators.pagerank import pagerank_fixed
 from .operators.similarity import knn_bruteforce
 from .operators.stats import component_sizes, component_stats, top_components
-from .operators.triangles import triangle_count
+from .operators.triangles import triangle_count, triangles_per_vertex
 from .streaming.events import batch_event_counts
 
 BLOCK = 8
@@ -153,6 +154,93 @@ def _hash31_sql(expr: str) -> str:
     return f"((('0x' || substr(md5({expr}), 1, 15))::BIGINT) % {MERSENNE_31})"
 
 
+def _pagerank_fixed_sql(n_iterations: int, damping: float = 0.85, top: int = 20) -> str:
+    """Unrolled fixed-iteration PageRank (DuckDB), the bit-exact twin of
+    operators.pagerank.pagerank_fixed: every float literal is ::DOUBLE
+    (bare decimals parse as DECIMAL in DuckDB — exact 0.15 converts to a
+    DIFFERENT double than IEEE 1.0-0.85), contribution and dangling sums
+    are left folds over key-ordered lists (list_reduce over
+    list_prepend(0.0, list(x ORDER BY k))), matching Spark's
+    aggregate(array_sort(collect_list(...)), 0.0, +)."""
+    d = f"{damping!r}::DOUBLE"
+    # MATERIALIZED everywhere a CTE is referenced more than once: DuckDB
+    # otherwise inlines, and the iteration chain (pr{t} referenced 3x per
+    # round) would expand exponentially
+    ctes = [
+        "canon2 AS MATERIALIZED (SELECT src, dst FROM canon)",
+        "verts2 AS MATERIALIZED (SELECT src AS v FROM canon2 UNION SELECT dst FROM canon2)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM canon2 GROUP BY src)",
+        """vo AS (SELECT v.v AS vertex, coalesce(d.outdeg, 0) AS outdeg
+              FROM verts2 v LEFT JOIN deg d ON d.src = v.v)""",
+        "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS nd FROM verts2)",
+        "pr0 AS MATERIALIZED (SELECT vertex, outdeg, 1.0::DOUBLE / nd AS rank FROM vo, nn)",
+    ]
+    fold = "list_reduce(list_prepend(0.0::DOUBLE, {lst}), (a, b) -> a + b)"
+    for t in range(n_iterations):
+        dang_lst = "coalesce(list(rank ORDER BY vertex), [])"
+        ctes.append(
+            f"d{t} AS (SELECT {fold.format(lst=dang_lst)} AS dm "
+            f"FROM pr{t} WHERE outdeg = 0)"
+        )
+        contrib_lst = "list(p.rank / p.outdeg ORDER BY p.vertex)"
+        ctes.append(
+            f"""c{t} AS (SELECT e.dst AS vertex, {fold.format(lst=contrib_lst)} AS contrib
+              FROM canon2 e JOIN pr{t} p ON p.vertex = e.src AND p.outdeg > 0
+              GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""pr{t + 1} AS MATERIALIZED (SELECT s.vertex, s.outdeg,
+                (1.0::DOUBLE - {d}) / nd
+                + {d} * (coalesce(c.contrib, 0.0::DOUBLE) + d{t}.dm / nd) AS rank
+              FROM pr{t} s LEFT JOIN c{t} c ON c.vertex = s.vertex, d{t}, nn)"""
+        )
+    return (
+        f"WITH {CANON_SQL}, "
+        + ",\n  ".join(ctes)
+        + f"\n  SELECT vertex, rank FROM pr{n_iterations}"
+        + f"\n  ORDER BY rank DESC, vertex ASC LIMIT {top}"
+    )
+
+
+def _lpa_fixed_sql(n_iterations: int) -> str:
+    """Unrolled bounded-iteration LPA (DuckDB), exact integer twin of
+    operators.lpa.label_propagation_communities: per round, each vertex
+    takes its most frequent neighbor label, ties to the smallest label,
+    keeping its own when it has no neighbors. All-integer arithmetic —
+    no float ordering concerns; a converged fixpoint is stable under the
+    remaining rounds, so Spark's early stop still matches."""
+    # MATERIALIZED on the chain CTEs — DuckDB inlines multi-referenced
+    # CTEs otherwise and l{t} (referenced 2-3x per round) would expand
+    # exponentially
+    ctes = [
+        "sym2 AS MATERIALIZED (SELECT src, dst FROM sym)",
+        "verts2 AS (SELECT src AS v FROM sym2 UNION SELECT dst FROM sym2)",
+        "l0 AS MATERIALIZED (SELECT v AS vertex, v AS label FROM verts2)",
+    ]
+    for t in range(n_iterations):
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (SELECT e.dst AS vertex, l.label AS label, count(*) AS cnt
+              FROM sym2 e JOIN l{t} l ON l.vertex = e.src GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"m{t} AS (SELECT vertex, max(cnt) AS mc FROM c{t} GROUP BY vertex)"
+        )
+        ctes.append(
+            f"""b{t} AS (SELECT c.vertex, min(c.label) AS new_label
+              FROM c{t} c JOIN m{t} m ON m.vertex = c.vertex AND c.cnt = m.mc
+              GROUP BY c.vertex)"""
+        )
+        ctes.append(
+            f"""l{t + 1} AS MATERIALIZED (SELECT s.vertex, coalesce(b.new_label, s.label) AS label
+              FROM l{t} s LEFT JOIN b{t} b ON b.vertex = s.vertex)"""
+        )
+    return (
+        f"WITH {SYM_SQL}, "
+        + ",\n  ".join(ctes)
+        + f"\n  SELECT vertex, label FROM l{n_iterations}"
+    )
+
+
 SHINGLES_SQL = f"""
   sh0 AS (
     SELECT doc_id, {_words_sql(_norm_sql("text"))} AS w FROM documents
@@ -228,9 +316,15 @@ def build_queries():
             spark, symmetrize(raw_edges(spark, sf)), vertices=doc_vertices(spark, sf)
         )[0]
 
+    def _cc_afforest(spark, sf):
+        return cc_afforest(
+            spark, raw_edges(spark, sf), vertices=doc_vertices(spark, sf)
+        )[0]
+
     q("cc_labels", _cc_two_phase, cc_oracle)
     q("cc_labels_stars", _cc_stars, cc_oracle)
     q("cc_labels_labelprop", _cc_lp, cc_oracle)
+    q("cc_labels_afforest", _cc_afforest, cc_oracle)
     q(
         "cc_component_sizes",
         lambda spark, sf: component_sizes(_cc_two_phase(spark, sf)),
@@ -254,8 +348,12 @@ def build_queries():
     )
 
     # ---------------- triangles ---------------------------------------------
+    # degree orientation is the default here: the right plan for anything
+    # power-law (hub wedge fan-out becomes O(sqrt(E)) per vertex); the
+    # triangle SET is orientation-invariant, so the oracle keeps the
+    # simpler id-oriented join
     def _tri(spark, sf):
-        n = triangle_count(spark, raw_edges(spark, sf))
+        n = triangle_count(spark, raw_edges(spark, sf), orient_by_degree=True)
         return spark.createDataFrame([(n,)], "triangles long")
 
     q(
@@ -266,21 +364,51 @@ def build_queries():
         FROM canon a JOIN canon b ON a.dst = b.src
         JOIN canon c ON c.src = a.src AND c.dst = b.dst""",
     )
+    q(
+        "triangles_per_vertex",
+        lambda spark, sf: triangles_per_vertex(
+            spark, raw_edges(spark, sf), orient_by_degree=True
+        ),
+        f"""WITH {CANON_SQL},
+        tri AS (
+          SELECT a.src AS a, a.dst AS b, b.dst AS c
+          FROM canon a JOIN canon b ON a.dst = b.src
+          JOIN canon c ON c.src = a.src AND c.dst = b.dst
+        ),
+        members AS (
+          SELECT a AS vertex FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri
+        )
+        SELECT vertex, count(*) AS triangles FROM members GROUP BY vertex""",
+    )
 
-    # ---------------- iterative, non-SQL-expressible (rows-only checks) -----
+    # ---------------- iterative fixpoints, exact cross-engine twins ---------
+    # pagerank_fixed: order-deterministic folds make every rank BIT-EXACT
+    # across engines (see operators/pagerank.py docstring); the
+    # tol-converged pagerank() stays the production/bench path (pytest
+    # checks it against the numpy oracle at 1e-6).
+    PR_ITERS = 5
+
     def _pr(spark, sf):
-        ranks, _ = pagerank(spark, canonicalize(raw_edges(spark, sf)), tol=1e-6)
+        ranks = pagerank_fixed(
+            spark, canonicalize(raw_edges(spark, sf)), n_iterations=PR_ITERS
+        )
         return ranks.orderBy(F.desc("rank"), F.asc("vertex")).limit(20)
 
-    q("pagerank_top20", _pr)  # iterative fixpoint: no SQL oracle (driver rows-only)
+    q("pagerank_top20", _pr, _pagerank_fixed_sql(PR_ITERS, top=20))
+
+    LPA_ITERS = 8
 
     def _lpa(spark, sf):
         labels, _ = label_propagation_communities(
-            spark, symmetrize(raw_edges(spark, sf)), max_iterations=8
+            spark, symmetrize(raw_edges(spark, sf)), max_iterations=LPA_ITERS
         )
         return labels
 
-    q("lpa_communities", _lpa)  # iterative fixpoint: rows-only
+    # all-integer argmax updates — the unrolled SQL twin is exact, and a
+    # pre-cap fixpoint is stable under the remaining rounds
+    q("lpa_communities", _lpa, _lpa_fixed_sql(LPA_ITERS))
 
     # ---------------- text analysis -----------------------------------------
     q(
@@ -424,6 +552,38 @@ def build_queries():
         WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.1""",
     )
 
+    # capped variant: document-frequency cap drops boilerplate shingles
+    # from the vocabulary before the inverted-index self-join (the 100TB
+    # skew guard); Jaccard is exact over the capped vocabulary
+    NGRAM_MAX_DF = 20
+
+    def _jaccard_capped(spark, sf):
+        from .operators.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(
+            _docs(spark, sf), threshold=0.1, max_df=NGRAM_MAX_DF
+        )
+
+    q(
+        "ngram_jaccard_capped",
+        _jaccard_capped,
+        f"""WITH {SHINGLES_SQL},
+        keepx AS (SELECT x FROM shv GROUP BY x HAVING count(*) <= {NGRAM_MAX_DF}),
+        capped AS (SELECT s._id, s.x FROM shv s JOIN keepx k ON k.x = s.x),
+        sizes AS (SELECT _id, count(*) AS n_sh FROM capped GROUP BY _id),
+        common AS (
+          SELECT l._id AS a, r._id AS b, count(*) AS common
+          FROM capped l JOIN capped r ON l.x = r.x AND l._id < r._id
+          GROUP BY 1, 2
+        )
+        SELECT a, b,
+               common::DOUBLE / (sa.n_sh + sb.n_sh - common) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa._id = a
+        JOIN sizes sb ON sb._id = b
+        WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.1""",
+    )
+
     # ---------------- similarity search -------------------------------------
     qids = ", ".join(str(x) for x in KNN_QUERY_IDS)
     q(
@@ -511,9 +671,14 @@ def build_queries():
 
         ev = spark.read.parquet(f"{sf}/events.parquet")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
-            F.lag(F.col("ts").cast("timestamp")).over(w)
-        )
+        # timestamp_diff on the NTZ values directly: unix_timestamp(cast)
+        # was session-timezone-dependent (the driver builds its own
+        # session; UTC is not guaranteed there). Truncate to whole seconds
+        # first: DuckDB's date_diff('second') counts second-BOUNDARY
+        # crossings, Spark's timestamp_diff truncates the exact
+        # microsecond difference — they disagree on sub-second tails.
+        sec = F.date_trunc("second", F.col("ts"))
+        gap = F.timestamp_diff("SECOND", F.lag(sec).over(w), sec)
         marked = ev.select(
             "user_id",
             F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
@@ -535,7 +700,8 @@ def build_queries():
                       THEN 1 ELSE 0 END AS new_session
           FROM events
         )
-        SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
         FROM g GROUP BY user_id""",
     )
 
@@ -593,6 +759,155 @@ def build_queries():
                  AS sum_base_price,
                count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    )
+
+    # ---------------- multi-table joins (star-schema, broadcast dims) -------
+    # The dimension sides (region 5, nation 25, customer |SF|·1.5k rows)
+    # are broadcast explicitly — the fact-table joins are the only
+    # shuffles; money sums go through DECIMAL so both engines sum exactly.
+    def _rev_nation(spark, sf):
+        customer = spark.read.parquet(f"{sf}/customer.parquet")
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+        nation = spark.read.parquet(f"{sf}/nation.parquet")
+        region = spark.read.parquet(f"{sf}/region.parquet")
+        dim = (
+            customer.join(
+                F.broadcast(nation),
+                customer["c_nationkey"] == nation["n_nationkey"],
+            )
+            .join(
+                F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                nation["n_regionkey"] == region["r_regionkey"],
+            )
+            .select("c_custkey", "n_name")
+        )
+        ord_97 = orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        ).select("o_orderkey", "o_custkey")
+        return (
+            lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+            .join(ord_97, lineitem["l_orderkey"] == ord_97["o_orderkey"])
+            .join(F.broadcast(dim), ord_97["o_custkey"] == dim["c_custkey"])
+            .groupBy("n_name")
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                    .cast("decimal(20,4)")
+                )
+                .cast("double")
+                .alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+    q(
+        "revenue_by_nation",
+        _rev_nation,
+        """SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name""",
+    )
+
+    # Q4-style: orders with at least one line shipped after the order
+    # date window start — a semi-join (EXISTS) against the fact table
+    def _late_priority(spark, sf):
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+        ord_97 = orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+        )
+        late = ord_97.join(
+            lineitem,
+            (lineitem["l_orderkey"] == ord_97["o_orderkey"])
+            & (lineitem["l_shipdate"] > ord_97["o_orderdate"]),
+            "left_semi",
+        )
+        return late.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders")
+        )
+
+    q(
+        "order_priority_late_ship",
+        _late_priority,
+        """SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority""",
+    )
+
+    def _brand_revenue(spark, sf):
+        part = spark.read.parquet(f"{sf}/part.parquet")
+        lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return (
+            lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+            .join(
+                F.broadcast(part.select("p_partkey", "p_brand")),
+                lineitem["l_partkey"] == part["p_partkey"],
+            )
+            .groupBy("p_brand")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(20,4)"))
+                .cast("double")
+                .alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(20,4)"))
+                .cast("double")
+                .alias("sum_price"),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+    q(
+        "brand_revenue",
+        _brand_revenue,
+        """SELECT p_brand,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY p_brand""",
+    )
+
+    def _supplier_nation(spark, sf):
+        supplier = spark.read.parquet(f"{sf}/supplier.parquet")
+        nation = spark.read.parquet(f"{sf}/nation.parquet")
+        return (
+            supplier.join(
+                F.broadcast(nation),
+                supplier["s_nationkey"] == nation["n_nationkey"],
+            )
+            .groupBy("n_name")
+            .agg(
+                F.count("*").alias("n_suppliers"),
+                F.sum(F.col("s_acctbal").cast("decimal(20,4)"))
+                .cast("double")
+                .alias("total_balance"),
+            )
+        )
+
+    q(
+        "supplier_balance_by_nation",
+        _supplier_nation,
+        """SELECT n_name, count(*) AS n_suppliers,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS total_balance
+        FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        GROUP BY n_name""",
     )
 
     return queries, oracles

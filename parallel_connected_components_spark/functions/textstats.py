@@ -27,14 +27,15 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def words_col(text: Column | str) -> Column:
-    """Whitespace tokenization; empty string → empty array (split('')
-    yields [''], which must not count as a token). Note: regex trim, not
-    F.trim — Spark's trim strips only 0x20, not tab/newline."""
+    """Whitespace tokenization; NULL or empty string → empty array
+    (split('') yields [''], which must not count as a token; the DuckDB
+    oracle twin _words_sql maps NULL → [] the same way). Note: regex
+    trim, not F.trim — Spark's trim strips only 0x20, not tab/newline."""
     c = F.col(text) if isinstance(text, str) else text
     trimmed = F.regexp_replace(c, r"^\s+|\s+$", "")
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
-    )
+    return F.when(
+        c.isNull() | (trimmed == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
 
 
 def token_count_col(text: Column | str) -> Column:

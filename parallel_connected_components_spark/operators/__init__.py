@@ -10,6 +10,7 @@ from .graph import (  # noqa: F401
     vertices_of,
 )
 from .cc import (  # noqa: F401
+    cc_afforest,
     cc_alternating_stars,
     cc_label_propagation,
     cc_two_phase,
@@ -17,7 +18,7 @@ from .cc import (  # noqa: F401
     normalize_labels,
     union_find_oracle,
 )
-from .pagerank import pagerank, pagerank_numpy_oracle  # noqa: F401
+from .pagerank import pagerank, pagerank_fixed, pagerank_numpy_oracle  # noqa: F401
 from .lpa import label_propagation_communities  # noqa: F401
 from .triangles import triangle_count, triangles_per_vertex  # noqa: F401
 from .stats import (  # noqa: F401

@@ -34,7 +34,8 @@ by the map-task count); the joins are covered by AQE skew-join splitting
 (session.py). The Afforest giant-component trick
 (/root/reference/src/cc_openmp.c:596-613) generalizes to the frontier:
 resolved regions leave the frontier and stop shuffling; ``prune_every``
-additionally drops intra-component edges wholesale.
+additionally rewrites same-label edges into per-endpoint label shortcuts
+(connectivity-preserving contraction, see :func:`cc_label_propagation`).
 """
 
 from __future__ import annotations
@@ -78,19 +79,6 @@ def union_find_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
 # --------------------------------------------------------------------------
 # Shared pieces
 # --------------------------------------------------------------------------
-
-def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
-    """(count, XOR of per-edge hashes) — O(1)-state set-equality check for
-    the edge-rewriting algorithms (the reference's `changed` OR-reduction,
-    /root/reference/src/cc_openmp.c:92-94, generalized to set equality).
-    XOR, not SUM: order-invariant and can't overflow under ANSI mode;
-    sound because the edge set is deduped (no even-multiplicity cancel)."""
-    row = edges.agg(
-        F.count("*").alias("c"),
-        F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
-    ).collect()[0]
-    return (row["c"], row["h"] or 0)
-
 
 def labels_from_star_edges(star_edges: DataFrame, vertices: DataFrame | None) -> DataFrame:
     """Star edges (child > root) → labels(vertex, label); roots label
@@ -301,7 +289,10 @@ def cc_two_phase(
         out = pd.DataFrame(
             {"vertex": list(mapping.keys()), "label": list(mapping.values())}
         )
-        labels = spark.createDataFrame(out)  # Arrow path back
+        # explicit schema: an empty contracted graph (edge-less input)
+        # must yield an empty, correctly-typed labels table, not an
+        # inference error
+        labels = spark.createDataFrame(out, schema="vertex long, label long")
     else:
         labels, runner = cc_alternating_stars(
             spark,
@@ -324,7 +315,133 @@ def cc_two_phase(
 
 
 # --------------------------------------------------------------------------
-# 3. Min-label propagation with frontier
+# 3. Afforest: k-neighbor sampling pre-rounds + giant-component skip
+# --------------------------------------------------------------------------
+
+def cc_afforest(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    sample_rounds: int = 2,
+    num_samples: int = 1024,
+    checkpoint_dir: str | None = None,
+    max_iterations: int = 50,
+) -> tuple[DataFrame, FixpointRunner]:
+    """Afforest (Sutton/Ben-Nun/Barak, IPDPS'18) re-expressed as Spark
+    dataflow — the reference's best algorithm on skewed graphs
+    (/root/reference/README.md:150, cc_openmp.c:560-621):
+
+    phase a (sampling pre-rounds, cc_openmp.c:582-594): link each vertex
+      to its r-th neighbor only, for r = 1..sample_rounds — here the r
+      smallest neighbors per vertex via r chained MIN aggregations (no
+      per-vertex sort, partial agg bounds hub keys), then the sampled
+      subgraph (≤ sample_rounds·|V| edges, independent of |E|) is fully
+      resolved with alternating stars. On power-law graphs this cheap
+      pass already collapses most of the giant component.
+
+    giant detection (cc_openmp.c:422-496): ~num_samples random vertices
+      vote; the plurality label is the probable giant component —
+      recorded in the runner metrics (the reference's skew detector).
+
+    phase b (the skip, cc_openmp.c:596-613, strengthened): edges whose
+      endpoints share a phase-a label are redundant for connectivity —
+      the reference skips exactly the giant's internal edges; mapping
+      every edge through the phase-a labels and keeping only
+      differing-label pairs drops the giant's internal edges AND every
+      other already-resolved region, i.e. contraction subsumes the
+      giant-component exclusion. The contracted remainder (tiny after a
+      good phase a) finishes with :func:`cc_two_phase`, and final labels
+      compose: label(v) = root(label_a(v)). Sound because phase-a labels
+      are component minima of a SUBgraph (never cross true components)
+      and every dropped edge's endpoints stay connected through their
+      shared representative.
+    """
+    canon = canonicalize(edges)
+    sym = canon.union(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    n_part = spark.sparkContext.defaultParallelism
+    sym = sym.repartition(n_part, "src").localCheckpoint(eager=True)
+
+    # phase a: r-th-smallest-neighbor edges, r = 1..sample_rounds
+    picked = sym.groupBy("src").agg(F.min("dst").alias("dst"))
+    sampled = picked
+    for _ in range(1, sample_rounds):
+        picked = (
+            sym.join(picked.withColumnRenamed("dst", "_prev"), "src")
+            .filter(F.col("dst") > F.col("_prev"))
+            .groupBy("src")
+            .agg(F.min("dst").alias("dst"))
+        )
+        sampled = sampled.union(picked)
+    labels_a, runner = cc_alternating_stars(
+        spark,
+        sampled,
+        vertices=None,
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_iterations,
+    )
+    labels_a = labels_a.localCheckpoint(eager=True)
+    if labels_a.isEmpty():  # edge-less input: everyone is their own component
+        out = (
+            vertices.select(F.col("id").alias("vertex"), F.col("id").alias("label"))
+            if vertices is not None
+            else labels_a
+        )
+        return out, runner
+
+    # giant detection — the sampling vote, recorded like the reference's
+    # "skipping component X (sampled share Y)" progress line
+    from .stats import giant_component_sample
+
+    giant_label, giant_hits = giant_component_sample(
+        labels_a, num_samples=num_samples
+    )
+    runner.metrics.append(
+        IterationMetrics(
+            len(runner.metrics), -1, 0.0,
+            extra={"phase": "giant_sample", "giant_label": giant_label,
+                   "giant_hits": giant_hits, "num_samples": num_samples},
+        )
+    )
+
+    # phase b: contract through phase-a labels, finish on the remainder
+    la = labels_a.withColumnsRenamed({"vertex": "src", "label": "_ls"})
+    lb = labels_a.withColumnsRenamed({"vertex": "dst", "label": "_ld"})
+    contracted = (
+        canon.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("_ls") != F.col("_ld"))
+        .select(
+            F.least("_ls", "_ld").alias("src"), F.greatest("_ls", "_ld").alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    roots, runner_b = cc_two_phase(
+        spark, contracted, vertices=None,
+        checkpoint_dir=checkpoint_dir, max_iterations=max_iterations,
+        assume_canonical=True,
+    )
+    runner.metrics.extend(runner_b.metrics)
+    labels = (
+        labels_a.join(
+            roots.select(F.col("vertex").alias("label"), F.col("label").alias("_root")),
+            "label",
+            "left",
+        )
+        .select("vertex", F.coalesce("_root", F.col("label")).alias("label"))
+    )
+    if vertices is not None:
+        labels = (
+            vertices.select(F.col("id").alias("vertex"))
+            .join(labels, "vertex", "left")
+            .select("vertex", F.coalesce("label", F.col("vertex")).alias("label"))
+        )
+    return labels, runner
+
+
+# --------------------------------------------------------------------------
+# 4. Min-label propagation with frontier
 # --------------------------------------------------------------------------
 
 def cc_label_propagation(
@@ -343,10 +460,23 @@ def cc_label_propagation(
 
     ``frontier=True`` sends messages only from vertices whose label
     changed last round (the reference's queue-based delta iteration,
-    /root/reference/src/cc_sequential.c:131-161). ``prune_every=k`` drops
-    edges whose endpoints share a label every k rounds — the
+    /root/reference/src/cc_sequential.c:131-161). ``prune_every=k``
+    rewrites the live edge set every k rounds: edges whose endpoints
+    share a (transient) label are dropped and replaced by shortcut edges
+    from each dropped endpoint to its current label vertex — the
     giant-component exclusion (/root/reference/src/cc_openmp.c:596-613)
-    without the sampling step.
+    generalized to label propagation. A shared transient label does NOT
+    mean the component is resolved, so dropping alone would sever the
+    message path of a minimum still in flight (counterexample: path
+    1-6-5-7 pruned at (5,7) after round 1 strands 7; regression test
+    ``test_label_prop_prune_path_counterexample``). The shortcut edges
+    restore it: label provenance guarantees ``l(u)`` lies in u's
+    component, and for any dropped edge (u,v), u—l(u)—v is a retained
+    path (l(u)==l(v)), so the rewritten graph has exactly the original
+    components — and the shortcuts double as pointer-doubling hops that
+    speed later rounds. Net shrink = (intra-cluster edges dropped) −
+    (≤2 shortcut edges per dropped endpoint), a large win exactly where
+    it matters: dense resolved clusters.
     """
     verts = (
         vertices.select(F.col("id")) if vertices is not None else vertices_of(edges_sym)
@@ -398,14 +528,33 @@ def cc_label_propagation(
         changed = obs_holder.pop(it).get["changed"] or 0
         if prune_every and changed and (it + 1) % prune_every == 0:
             lab = new_state.select("vertex", "label")
-            e = (
+            tagged = (
                 live_edges["df"]
                 .join(lab.withColumnsRenamed({"vertex": "src", "label": "_ls"}), "src")
                 .join(lab.withColumnsRenamed({"vertex": "dst", "label": "_ld"}), "dst")
-                .filter(F.col("_ls") != F.col("_ld"))
-                .select("src", "dst")
             )
-            live_edges["df"] = e.localCheckpoint(eager=True)
+            keep = tagged.filter(F.col("_ls") != F.col("_ld")).select("src", "dst")
+            # Shortcuts for dropped endpoints: (u, l(u)) both directions,
+            # frozen at this round's labels. Keeps the rewritten graph's
+            # components identical to the original (see docstring proof);
+            # self-shortcuts (l(u)==u) are meaningless and filtered.
+            dropped_stars = (
+                tagged.filter(F.col("_ls") == F.col("_ld"))
+                .select(F.col("src").alias("vertex"), F.col("_ls").alias("lab"))
+                .union(
+                    tagged.filter(F.col("_ls") == F.col("_ld"))
+                    .select(F.col("dst").alias("vertex"), F.col("_ld").alias("lab"))
+                )
+                .filter(F.col("vertex") != F.col("lab"))
+                .dropDuplicates(["vertex", "lab"])
+            )
+            shortcuts = dropped_stars.select(
+                F.col("vertex").alias("src"), F.col("lab").alias("dst")
+            ).union(
+                dropped_stars.select(F.col("lab").alias("src"), F.col("vertex").alias("dst"))
+            )
+            e = keep.union(shortcuts).dropDuplicates(["src", "dst"])
+            live_edges["df"] = e.repartition(n_part, "src").localCheckpoint(eager=True)
             return changed, {"live_edges": live_edges["df"].count()}
         return changed, {}
 

@@ -273,12 +273,28 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets for pairs sharing ≥1 shingle.
     → (a, b, jaccard). The inverted-index join is the scale path: pairs
     never materialize unless they share a shingle; stopword-only shingle
-    skew is bounded by an optional document-frequency cap."""
+    skew is bounded by the ``max_df`` document-frequency cap: shingle
+    values held by more than max_df documents are removed from the
+    vocabulary BEFORE the self-join (a boilerplate shingle shared by 10^6
+    docs would otherwise emit ~10^12 candidate pairs). Jaccard is then
+    exact over the capped vocabulary — sizes are recomputed after the
+    filter so numerator and denominator agree (the standard
+    stopword-removal semantics, not an approximation of uncapped
+    Jaccard). ``max_df=None`` disables the cap."""
     sv = _shingle_values(docs, id_col, text_col, shingle_n).localCheckpoint(eager=True)
+    if max_df is not None:
+        ok = (
+            sv.groupBy("x")
+            .agg(F.count("*").alias("_df"))  # (_id, x) is distinct ⇒ count = doc freq
+            .filter(F.col("_df") <= max_df)
+            .select("x")
+        )
+        sv = sv.join(ok, "x", "left_semi")
     sizes = sv.groupBy("_id").agg(F.count("*").alias("n_sh"))
     left = sv.select(F.col("x"), F.col("_id").alias("a"))
     right = sv.select(F.col("x"), F.col("_id").alias("b"))
@@ -314,19 +330,26 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     num_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold. Candidates via
     random-hyperplane LSH (sign sketch, deterministic planes derived from
     the portable hash) — vectors agreeing on all num_planes signs collide;
     verify exact cosine. High-threshold near-dup detection only (recall
     drops for lower thresholds — use similarity.knn_* for search).
-    → (a, b, cosine)."""
+    → (a, b, cosine). ``dim`` defaults to the measured vector length (one
+    tiny job); a wrong dim would NULL-pad every plane dot product, push
+    every sketch bit to 0, and silently degrade the LSH join to an
+    all-pairs cross join in bucket 0."""
     from .similarity import cosine_expr, hyperplane_sketch_col  # local import, shared math
 
+    if dim is None:
+        row = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
+        dim = row[0]["d"] if row else 0
     sk = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        hyperplane_sketch_col(F.col(vec_col), num_planes, seed).alias("bucket"),
+        hyperplane_sketch_col(F.col(vec_col), num_planes, seed, dim).alias("bucket"),
     )
     left = sk.select("bucket", F.col("_id").alias("a"), F.col("v").alias("va"))
     right = sk.select("bucket", F.col("_id").alias("b"), F.col("v").alias("vb"))

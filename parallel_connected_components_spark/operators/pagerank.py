@@ -71,8 +71,12 @@ def pagerank(
     )
 
     init = vo.select("vertex", "outdeg", F.lit(1.0 / n).alias("rank"))
+    # cap semantics match the numpy oracle: hitting max_iterations returns
+    # the best-effort ranks at the cap (last l1_delta is in the metrics),
+    # it does not raise — slow-converging graphs near the cap still answer
     runner = FixpointRunner(
-        spark, "pagerank", checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
+        spark, "pagerank", checkpoint_dir=checkpoint_dir,
+        max_iterations=max_iterations, raise_on_cap=False,
     )
 
     # dangling mass for the *next* step is computed inside the same
@@ -139,6 +143,100 @@ def pagerank(
     final = runner.run(init.withColumn("prev_rank", F.col("rank")), step, converged, resume=resume)
     e.unpersist()
     return final.select("vertex", "rank"), runner
+
+
+def pagerank_fixed(
+    spark: SparkSession,
+    edges: DataFrame,
+    n_iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank with ORDER-DETERMINISTIC float summation —
+    the cross-engine-verifiable twin of :func:`pagerank` (same recipe,
+    same damping/dangling handling), built so an independent SQL engine
+    reproduces every rank BIT-EXACTLY:
+
+    - per-vertex contribution sums fold an array sorted by source id
+      (collect_list → array_sort → aggregate left-fold) instead of an
+      order-arbitrary SUM, so both engines compute ((0+w1)+w2)+… over
+      identical operands in identical order;
+    - the dangling mass folds (vertex, rank) sorted by vertex the same
+      way;
+    - scalar constants ((1−d)/n, 1/n) are computed once driver-side and
+      injected as literals into both plans.
+
+    This exists for the correctness gate and bounded-step uses; the
+    convergence-driven :func:`pagerank` is the production path (its
+    arbitrary-order SUM is cheaper — partial aggregation combines without
+    materializing per-vertex arrays; here a hub's in-neighbor weights
+    assemble into one array per vertex, which is exactly the packed-
+    adjacency gather and is bounded by max in-degree, not graph size).
+
+    → ranks(vertex long, rank double) after exactly ``n_iterations``
+    steps. DuckDB twin: entry.pagerank_fixed_sql().
+    """
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    verts = vertices_of(e).localCheckpoint(eager=True)
+    n = verts.count()
+    n_part = spark.sparkContext.defaultParallelism
+    e = e.repartition(n_part, "src").persist()
+    outdeg = e.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("outdeg"))
+    vo = (
+        verts.select(F.col("id").alias("vertex"))
+        .join(outdeg, "vertex", "left")
+        .select("vertex", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    base = (1.0 - damping) / n  # driver-side literal, shared with the SQL twin
+    state = vo.select("vertex", "outdeg", F.lit(1.0 / n).alias("rank"))
+
+    def _ordered_fold(pairs_struct):
+        # left fold over the sorted struct array; 0.0 + x == x exactly in
+        # IEEE754, so the fold equals w1 + w2 + … in ascending-key order
+        return F.aggregate(
+            F.array_sort(pairs_struct), F.lit(0.0), lambda acc, x: acc + x["w"]
+        )
+
+    for _ in range(n_iterations):
+        dang = state.filter(F.col("outdeg") == 0).agg(
+            _ordered_fold(
+                F.collect_list(F.struct(F.col("vertex").alias("k"), F.col("rank").alias("w")))
+            ).alias("dm")
+        )
+        w = state.filter(F.col("outdeg") > 0).select(
+            F.col("vertex").alias("src"), (F.col("rank") / F.col("outdeg")).alias("w")
+        ).hint("shuffle_hash")
+        contribs = (
+            e.join(w, "src")
+            .select("dst", "src", "w")
+            .repartition(n_part, "dst")
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(
+                _ordered_fold(
+                    F.collect_list(F.struct(F.col("src").alias("k"), F.col("w").alias("w")))
+                ).alias("contrib")
+            )
+        )
+        state = (
+            state.select("vertex", "outdeg")
+            .join(contribs, "vertex", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "vertex",
+                "outdeg",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return state.select("vertex", "rank")
 
 
 def pagerank_numpy_oracle(

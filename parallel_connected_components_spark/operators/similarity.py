@@ -4,7 +4,8 @@ Two paths, per the training-data-pipeline requirements:
 - :func:`knn_bruteforce` — exact cosine top-k for a (small) query set:
   broadcast the queries, score every vector with a JVM-side
   zip_with/aggregate dot product (no Python, no UDF), take top-k per
-  query with max_by over a packed struct (no global sort).
+  query with the salted two-stage top-k (skew.salted_topk_per_key) —
+  a query's full N-row candidate set never sorts on one task.
 - :func:`knn_lsh` — the scale path: random-hyperplane LSH buckets
   (deterministic planes from the portable hash, seed-stable), top-k
   within the probe buckets only. Recall < 1.0 by construction; the
@@ -13,14 +14,18 @@ Two paths, per the training-data-pipeline requirements:
 Scale notes: brute force is O(N·Q·d) flops but a single scan — on a
 cluster it is embarrassingly parallel with the queries broadcast; the
 LSH path turns it into an equi-join on bucket keys. Skew: dense regions
-make hot buckets; multi-probe spreads them and AQE splits the join.
+make hot buckets; multi-probe spreads them and AQE splits the join; the
+top-k itself is salted so per-query row counts are bounded at every
+stage after the first (stage 1 sees ≤ N/num_salts rows per
+(query, salt); stage 2 sees ≤ num_salts·k rows per query).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.hashing import portable_hash64_py
+from .skew import salted_topk_per_key
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -90,12 +95,9 @@ def knn_bruteforce(
             cosine_expr(F.col("qv"), F.col("nv")).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return salted_topk_per_key(
+        scored, "query_id", "cosine", k, tiebreak_col="neighbor_id", rank_col="rank"
+    ).select("query_id", "neighbor_id", "rank", "cosine")
 
 
 def knn_lsh(
@@ -153,9 +155,6 @@ def knn_lsh(
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return salted_topk_per_key(
+        scored, "query_id", "cosine", k, tiebreak_col="neighbor_id", rank_col="rank"
+    ).select("query_id", "neighbor_id", "rank", "cosine")

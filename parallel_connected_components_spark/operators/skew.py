@@ -59,13 +59,15 @@ def packed_adjacency(
 
 def salted_topk_per_key(
     df: DataFrame, key: str, order_col: str, k: int, num_salts: int = 16,
-    tiebreak_col: str | None = None,
+    tiebreak_col: str | None = None, rank_col: str | None = None,
 ) -> DataFrame:
     """Top-k rows per key with a salted pre-pass: window row_number over
     a hot key otherwise sorts the whole hot partition on one task.
     stage 1: top-k within (key, salt); stage 2: top-k of the ≤ salts*k
-    survivors. ``tiebreak_col`` (ascending) pins determinism on equal
-    order values."""
+    survivors — the stage-2 window touches a bounded row count per key
+    regardless of input skew. ``tiebreak_col`` (ascending) pins
+    determinism on equal order values. ``rank_col`` keeps the final
+    1..k rank under that name."""
     from pyspark.sql import Window
 
     order = [F.desc(order_col)] + ([F.asc(tiebreak_col)] if tiebreak_col else [])
@@ -77,8 +79,7 @@ def salted_topk_per_key(
         .drop("_rn", "_salt")
     )
     w2 = Window.partitionBy(key).orderBy(*order)
-    return (
-        survivors.withColumn("_rn", F.row_number().over(w2))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+    out = survivors.withColumn("_rn", F.row_number().over(w2)).filter(
+        F.col("_rn") <= k
     )
+    return out.withColumnRenamed("_rn", rank_col) if rank_col else out.drop("_rn")

@@ -140,3 +140,51 @@ def test_label_prop_prune_every(spark):
     plain = labels_dict(cc_label_propagation(spark, sym)[0])
     pruned = labels_dict(cc_label_propagation(spark, sym, prune_every=2)[0])
     assert plain == pruned == union_find_oracle(base)
+
+
+def test_label_prop_prune_path_counterexample(spark):
+    """ADVICE r1 regression: pruning same-TRANSIENT-label edges severed
+    the message path (edges {(5,6),(5,7),(1,6)}, prune_every=1 left
+    vertex 7 labeled 5). The connectivity-preserving rewrite (label
+    shortcuts for dropped endpoints) must converge 7 → 1."""
+    e = spark.createDataFrame([(5, 6), (5, 7), (1, 6)], "src long, dst long")
+    labels = labels_dict(cc_label_propagation(spark, symmetrize(e), prune_every=1)[0])
+    assert labels == {1: 1, 5: 1, 6: 1, 7: 1}
+    # and the aggressive-prune path agrees with the oracle on a bigger graph
+    base = gen_component_graph(200, 4, 2, seed=23)
+    sym = symmetrize(spark.createDataFrame(base, "src long, dst long"))
+    assert labels_dict(cc_label_propagation(spark, sym, prune_every=1)[0]) == union_find_oracle(base)
+
+
+def test_two_phase_empty_edges_with_vertices(spark):
+    """ADVICE r1 regression: edge-less input must label supplied vertices
+    as themselves, not crash on empty-schema inference."""
+    e = spark.createDataFrame([], "src long, dst long")
+    verts = spark.range(5).select(F.col("id"))
+    labels = labels_dict(cc_two_phase(spark, e, vertices=verts)[0])
+    assert labels == {i: i for i in range(5)}
+
+
+def test_afforest_golden_and_property(spark, golden_edges):
+    from parallel_connected_components_spark.operators import cc_afforest
+
+    labels = labels_dict(cc_afforest(spark, golden_edges)[0])
+    assert labels == GOLDEN_LABELS
+    base = gen_component_graph(400, 5, 3, seed=31)
+    e = spark.createDataFrame(base, "src long, dst long")
+    assert labels_dict(cc_afforest(spark, e)[0]) == union_find_oracle(base)
+
+
+def test_afforest_hub_graph(spark):
+    """Skewed star-plus-chains graph — the shape Afforest's sampling
+    pre-rounds are for: one giant hub component + small satellites."""
+    edges = [(0, i) for i in range(1, 2000)]  # hub
+    edges += [(3000 + i, 3000 + i + 1) for i in range(0, 50)]  # chain
+    edges += [(5000, 5001), (5002, 5003)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    from parallel_connected_components_spark.operators import cc_afforest
+
+    labels, runner = cc_afforest(spark, e)
+    assert labels_dict(labels) == union_find_oracle(edges)
+    giant = [m for m in runner.metrics if m.extra.get("phase") == "giant_sample"]
+    assert giant and giant[0].extra["giant_label"] == 0

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import math
+
 import pytest
 
 from parallel_connected_components_spark.operators import (
@@ -46,3 +48,24 @@ def test_pagerank_deterministic_across_partitioning(spark):
     r2 = ranks_dict(pagerank(spark, edges.repartition(7), tol=1e-8)[0])
     for v in r1:
         assert r1[v] == pytest.approx(r2[v], abs=1e-12)
+
+
+def test_pagerank_fixed_matches_numpy_exact_steps(spark):
+    from parallel_connected_components_spark.operators import pagerank_fixed
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (5, 2), (6, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["vertex"]: r["rank"] for r in pagerank_fixed(spark, e, n_iterations=4).collect()}
+    want = pagerank_numpy_oracle(edges, tol=0.0, max_iterations=4)
+    assert set(got) == set(want)
+    assert all(math.isclose(got[v], want[v], rel_tol=1e-12) for v in want)
+
+
+def test_pagerank_cap_returns_best_effort(spark):
+    """Hitting max_iterations returns ranks (oracle cap semantics), it
+    does not raise (ADVICE r1)."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (5, 2)]  # non-regular
+    e = spark.createDataFrame(edges, "src long, dst long")
+    ranks, runner = pagerank(spark, e, tol=1e-15, max_iterations=2)
+    assert ranks.count() == 6
+    assert runner.num_iterations == 2

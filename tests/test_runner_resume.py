@@ -80,13 +80,13 @@ def test_pagerank_resume_matches_uninterrupted(spark, tmp_path):
         gen_component_graph(200, 4, 2, seed=31), "src long, dst long"
     )
     full, _ = pagerank(spark, edges, tol=1e-8)
-    # interrupted: snapshot every 2 iterations, die at 5
-    r1 = FixpointRunner  # noqa: F841  (import retained above)
-    with _pytest.raises(RuntimeError):
-        pagerank(
-            spark, edges, tol=1e-8, max_iterations=5,
-            checkpoint_dir=str(tmp_path),
-        )
+    # interrupted: cap at 5 iterations (best-effort return, no raise —
+    # the cap semantics match the numpy oracle since ADVICE r1), leaving
+    # a durable snapshot behind
+    partial, r1 = pagerank(
+        spark, edges, tol=1e-8, max_iterations=5, checkpoint_dir=str(tmp_path)
+    )
+    assert r1.num_iterations == 5  # genuinely capped mid-run
     resumed, runner = pagerank(
         spark, edges, tol=1e-8, checkpoint_dir=str(tmp_path), resume=True
     )

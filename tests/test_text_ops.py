@@ -229,3 +229,56 @@ def test_embedding_near_duplicates_finds_clones(spark, embeddings):
     pairs = embedding_near_duplicates(base.union(clones), threshold=0.999).collect()
     found = {(r["a"], r["b"]) for r in pairs}
     assert all((v, v + 100000) in found for v in range(20))
+
+
+def test_token_count_null_text(spark):
+    """ADVICE r1: NULL text must count 0 tokens (oracle maps NULL → [])."""
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "a b")], "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", token_count_col("text").alias("n")).collect()}
+    assert got == {1: 0, 2: 0, 3: 2}
+
+
+def test_ngram_jaccard_max_df_bounds_boilerplate(spark):
+    """A boilerplate shingle shared by every doc must not explode the
+    candidate-pair count once max_df caps the vocabulary; planted
+    near-dups sharing rare shingles must survive."""
+    boiler = "all rights reserved by the site"
+    docs = [(i, f"{boiler} unique words number {i} here") for i in range(30)]
+    docs.append((100, "rare shared tail of tokens one two three four"))
+    docs.append((101, "rare shared tail of tokens one two three four five"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, threshold=0.05)
+    capped = ngram_jaccard_pairs(df, threshold=0.05, max_df=5)
+    n_uncapped = uncapped.count()
+    capped_rows = capped.collect()
+    # uncapped: the 30 boilerplate docs all pair with each other (~435 pairs)
+    assert n_uncapped > 400
+    # capped: boilerplate shingles (df=30 > 5) leave the vocabulary
+    found = {(r["a"], r["b"]): r["jaccard"] for r in capped_rows}
+    assert (100, 101) in found
+    assert len(found) < 50
+    # jaccard for the planted pair is exact over the capped vocabulary
+    def sh(text):
+        w = text.lower().split()
+        return {" ".join(w[i:i+3]) for i in range(max(1, len(w)-2))} if len(w) >= 3 else {" ".join(w)}
+    a, b = sh(docs[-2][1]), sh(docs[-1][1])
+    assert abs(found[(100, 101)] - len(a & b) / len(a | b)) < 1e-12
+
+
+def test_embedding_near_dup_infers_dimension(spark):
+    """ADVICE r1: non-64-dim embeddings must still sketch into multiple
+    buckets (dim inference) and find planted clones."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    rows += [(1000 + i, rows[i][1]) for i in range(5)]  # exact clones
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_duplicates(df, threshold=0.999)
+    found = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert {(i, 1000 + i) for i in range(5)} <= found
+    # sketch non-degeneracy: distinct random 16-dim vectors spread over >1 bucket
+    from parallel_connected_components_spark.operators.similarity import hyperplane_sketch_col
+
+    buckets = df.select(hyperplane_sketch_col(F.col("embedding"), 8, 42, dim=16).alias("b"))
+    assert buckets.distinct().count() > 1
