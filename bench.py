@@ -130,6 +130,22 @@ def main() -> None:
 
     timed("cc_two_phase", run_cc_2p)
 
+    # Afforest (sampling pre-rounds + giant skip): timed OUTSIDE the
+    # headline sum — it is an alternative algorithm for the same result
+    # as cc_labelprop (BENCH/BASELINE.md records the shootout; frontier
+    # label-prop is the default), so adding it to the suite total would
+    # just double-count the CC workload across rounds.
+    def run_cc_afforest():
+        from parallel_connected_components_spark.operators import cc_afforest
+
+        t0 = time.perf_counter()
+        labels, runner = cc_afforest(spark, edges_canon)
+        ncomp = count_components(labels)
+        extra["cc_afforest_sec"] = round(time.perf_counter() - t0, 3)
+        assert ncomp == NUM_COMPONENTS, f"cc_afforest wrong: {ncomp}"
+
+    run_cc_afforest()
+
     # -- PageRank to 1e-6 ------------------------------------------------------
     def run_pr():
         ranks, runner = pagerank(spark, edges_canon, tol=1e-6, max_iterations=60)
@@ -164,7 +180,13 @@ def main() -> None:
 
     # -- a few oracle queries for continuity with the correctness gate --------
     queries, _ = build_queries()
-    for name in ("token_counts", "quality_scores", "events_hourly", "lineitem_pricing"):
+    for name in (
+        "token_counts",
+        "quality_scores",
+        "events_hourly",
+        "lineitem_pricing",
+        "revenue_by_nation",
+    ):
         timed(name, lambda n=name: queries[n](spark, sf_dir).count())
 
     result = {

@@ -726,6 +726,27 @@ def build_queries():
         ) WHERE rn <= 3""",
     )
 
+    # JSON scalar functions over the props column (semi-structured path)
+    q(
+        "events_json_props",
+        lambda spark, sf: spark.read.parquet(f"{sf}/events.parquet")
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n"),
+        ),
+        """SELECT event_type,
+               CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+               MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+               count(*) AS n
+        FROM events GROUP BY event_type""",
+    )
+
     # ---------------- events / OLAP ----------------------------------------
     q(
         "events_hourly",

@@ -61,10 +61,13 @@ def label_propagation_communities(
             .groupBy("vertex", "label")
             .agg(F.count("*").alias("cnt"))
         )
-        # argmax by (cnt, -label): most frequent, smallest label on ties
+        # argmax by (cnt, -label): most frequent, smallest label on ties.
+        # shuffle_hash hint on the join-back: without it AQE flips the
+        # left join to a broadcast once `best` looks small — a serial
+        # driver-side build every iteration (see cc_label_propagation)
         best = counts.groupBy("vertex").agg(
             F.max_by("label", F.struct(F.col("cnt"), -F.col("label"))).alias("new_label")
-        )
+        ).hint("shuffle_hash")
         obs = Observation()
         obs_holder[it] = obs
         return (

@@ -15,9 +15,11 @@ meaningful — risk R5, SURVEY.md §7):
 - converged when Σ_v |r_{t+1}(v) - r_t(v)| < tol (L1), float64 throughout.
 
 Plan shape per iteration: one shuffle join (edges ⋈ ranks on src — AQE
-skew-split covers hub sources), one partial+final sum aggregation on dst,
-one left join back to the vertex set, plus two scalar actions (dangling
-mass, L1 delta). The out-degree table is computed once and reused.
+skew-split covers hub sources), one post-exchange partial+final sum on
+dst over NARROW (vertex, w) messages, one shuffle_hash-pinned left join
+back to the vertex set (the hint stops AQE flipping it to an in-loop
+driver broadcast); convergence delta and next-iteration dangling mass
+ride the materialization job as an Observation — zero extra actions.
 """
 
 from __future__ import annotations
@@ -106,12 +108,23 @@ def pagerank(
         w = state.filter(F.col("outdeg") > 0).select(
             F.col("vertex").alias("src"), (F.col("rank") / F.col("outdeg")).alias("w")
         ).hint("shuffle_hash")
+        # Narrow messages (vertex, w only — 24B rows) + join-back pinned
+        # with shuffle_hash on BOTH sides. The hint on `contribs` is the
+        # load-bearing part: without it AQE flips this join to a
+        # BroadcastHashJoin once the aggregate output looks small — a
+        # serial driver hashed-relation build per iteration. A carrier-row
+        # union (as in cc_label_propagation) was measured too: it avoids
+        # the join but widens every message by two nullable columns
+        # (+40% shuffle bytes/iter at 18M msgs) and lost at 8 cores
+        # (83.8s vs 74.8s) and on 2→8 efficiency (0.75 vs 0.91) — CC
+        # keeps the union form because its carrier adds only a bool.
         contribs = (
             e.join(w, "src")
             .select("dst", "w")
             .repartition(n_part, "dst")
             .groupBy(F.col("dst").alias("vertex"))
             .agg(F.sum("w").alias("contrib"))
+            .hint("shuffle_hash")
         )
         base = (1.0 - damping) / n + damping * dangling / n
         new_state = (
@@ -173,7 +186,7 @@ def pagerank_fixed(
     adjacency gather and is bounded by max in-degree, not graph size).
 
     → ranks(vertex long, rank double) after exactly ``n_iterations``
-    steps. DuckDB twin: entry.pagerank_fixed_sql().
+    steps. DuckDB twin: entry._pagerank_fixed_sql().
     """
     e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
     verts = vertices_of(e).localCheckpoint(eager=True)

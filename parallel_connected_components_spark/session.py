@@ -56,6 +56,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Input-split sizing for the local sandbox: bench/test parquet is
+        # ~200MB in ~6MB files, and the default 128MB maxPartitionBytes
+        # bin-packs that into 2-3 input partitions — the scan (and the
+        # pandas-UDF extraction it feeds) then can't use more than 2-3
+        # cores regardless of local[n] (measured: phase profile showed the
+        # scan stage flat from 2→32 cores). 16MB ≈ one task per file here.
+        # On a real cluster reading 100 TB the default is right (files >>
+        # executors) — this is a small-input knob, overridable via env.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
     )
     # Shuffle spill through tmpfs when available: local-mode shuffles
     # otherwise serialize on one disk and flatten the core-scaling curve
