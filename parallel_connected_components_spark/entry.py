@@ -726,6 +726,90 @@ def build_queries():
         ) WHERE rn <= 3""",
     )
 
+    # ---------------- set operations + OLAP grouping sets -------------------
+    # EXCEPT: vertices with out-links but no in-links on the directed graph
+    def _no_inlink(spark, sf):
+        raw = raw_edges(spark, sf)
+        # subtract = SET except (SQL EXCEPT semantics); exceptAll would be
+        # the multiset variant and keep srcs merely MORE frequent than
+        # their dst occurrences
+        return raw.select(F.col("src").alias("vertex")).subtract(
+            raw.select(F.col("dst").alias("vertex"))
+        )
+
+    q(
+        "no_inlink_vertices",
+        _no_inlink,
+        f"""WITH {RAW_EDGES_SQL}
+        SELECT src AS vertex FROM raw
+        EXCEPT
+        SELECT dst FROM raw""",
+    )
+
+    # INTERSECT: users active in both halves of the event timeline
+    def _retained_users(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        # midpoint via pure NTZ arithmetic (timestamp_diff/add) — no
+        # unix_timestamp, which would depend on the driver's session TZ
+        mid = ev.agg(
+            F.timestamp_add(
+                "SECOND",
+                (F.timestamp_diff("SECOND", F.min("ts"), F.max("ts")) / F.lit(2))
+                .cast("long"),
+                F.min("ts"),
+            ).alias("m")
+        )
+        first = ev.join(F.broadcast(mid)).filter(F.col("ts") < F.col("m")).select("user_id")
+        second = ev.join(F.broadcast(mid)).filter(F.col("ts") >= F.col("m")).select("user_id")
+        return first.intersect(second)
+
+    q(
+        "retained_users",
+        _retained_users,
+        """WITH m AS (
+          SELECT min(ts) + date_diff('second', min(ts), max(ts)) // 2
+                   * INTERVAL 1 SECOND AS m
+          FROM events
+        )
+        SELECT DISTINCT user_id FROM events, m WHERE ts < m.m
+        INTERSECT
+        SELECT DISTINCT user_id FROM events, m WHERE ts >= m.m""",
+    )
+
+    # ROLLUP grouping sets over the events cube
+    q(
+        "events_rollup",
+        lambda spark, sf: spark.read.parquet(f"{sf}/events.parquet")
+        .rollup("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("total_value"),
+        ),
+        """SELECT event_type, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY ROLLUP(event_type)""",
+    )
+
+    # exact interpolated percentiles of the degree distribution (small-int
+    # inputs + quarter fractions are exactly representable, so Spark's
+    # (1-g)*lo + g*hi and DuckDB's lo + g*(hi-lo) agree bitwise)
+    q(
+        "degree_percentiles",
+        lambda spark, sf: degrees(symmetrize(raw_edges(spark, sf))).agg(
+            F.percentile("degree", 0.25).alias("p25"),
+            F.percentile("degree", 0.5).alias("p50"),
+            F.percentile("degree", 0.75).alias("p75"),
+            F.max("degree").alias("max_degree"),
+        ),
+        f"""WITH {SYM_SQL},
+        deg AS (SELECT src, count(*) AS degree FROM sym GROUP BY src)
+        SELECT quantile_cont(degree, 0.25) AS p25,
+               quantile_cont(degree, 0.5) AS p50,
+               quantile_cont(degree, 0.75) AS p75,
+               max(degree) AS max_degree
+        FROM deg""",
+    )
+
     # JSON scalar functions over the props column (semi-structured path)
     q(
         "events_json_props",

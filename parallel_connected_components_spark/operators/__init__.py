@@ -30,3 +30,10 @@ from .stats import (  # noqa: F401
     top_components,
 )
 from .skew import packed_adjacency, salted_topk_per_key  # noqa: F401
+from .similarity import (  # noqa: F401
+    ivf_assign,
+    kmeans_fit,
+    knn_bruteforce,
+    knn_ivf,
+    knn_lsh,
+)

@@ -1,1 +1,7 @@
-from .events import streaming_event_counts, batch_event_counts  # noqa: F401
+from .events import (  # noqa: F401
+    batch_event_counts,
+    batch_session_counts,
+    streaming_event_counts,
+    streaming_exact_dedup,
+    streaming_session_counts,
+)

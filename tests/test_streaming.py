@@ -86,3 +86,65 @@ def test_stateful_user_totals_parity(spark, tmp_path):
         | (F.abs(F.col("sum_value") - F.col("bs")) > 1e-9)
     )
     assert bad.count() == 0
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    """Session windows (dynamic gap-merged windows): drained stream ==
+    batch over the same closed input."""
+    import os
+
+    from parallel_connected_components_spark.streaming import (
+        batch_session_counts,
+        streaming_session_counts,
+    )
+
+    src_dir = str(tmp_path / "ev_sessions")
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(SRC, os.path.join(src_dir, "part-0.parquet"))
+    events = spark.read.parquet(SRC)
+    batch = batch_session_counts(events)
+    stream_df = streaming_session_counts(spark, src_dir, schema_from=SRC)
+    got = run_stream_to_completion(spark, stream_df, "sess_counts")
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_streaming_exact_dedup_parity(spark, tmp_path):
+    """Streaming dedup keeps exactly one row per fingerprint across
+    micro-batch boundaries (input split into two files, duplicates
+    planted across the split)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parallel_connected_components_spark.streaming import streaming_exact_dedup
+
+    DOCS = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(DOCS)
+    a = docs.filter("doc_id % 2 = 0")
+    # second file: odd docs + clones of 10 even docs (cross-batch dups)
+    clones = docs.filter("doc_id < 20 AND doc_id % 2 = 0").withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    b = docs.filter("doc_id % 2 = 1").unionByName(clones)
+    src_dir = str(tmp_path / "docs_in")
+    a.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, "f1"))
+    b.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, "f2"))
+
+    stream = streaming_exact_dedup(spark, f"{src_dir}/*", schema_from=DOCS)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_out")
+    from parallel_connected_components_spark.functions.textstats import fingerprint_col
+
+    n_distinct = docs.select(fingerprint_col("text").alias("f")).distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("fingerprint").distinct().count() == n_distinct

@@ -282,3 +282,41 @@ def test_embedding_near_dup_infers_dimension(spark):
 
     buckets = df.select(hyperplane_sketch_col(F.col("embedding"), 8, 42, dim=16).alias("b"))
     assert buckets.distinct().count() > 1
+
+
+def test_kmeans_fit_deterministic_and_separating(spark):
+    import random
+
+    rng = random.Random(3)
+    # two well-separated blobs in 8-dim
+    rows = [(i, [rng.gauss(5.0, 0.3) for _ in range(8)]) for i in range(40)]
+    rows += [(100 + i, [rng.gauss(-5.0, 0.3) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from parallel_connected_components_spark.operators import ivf_assign, kmeans_fit
+
+    c1 = kmeans_fit(df, k=2, n_iterations=8)
+    c2 = kmeans_fit(df, k=2, n_iterations=8)
+    assert c1 == c2  # deterministic under identical input
+    assigned = ivf_assign(df, c1).select("vec_id", "cluster").collect()
+    by_blob = {0: set(), 1: set()}
+    for r in assigned:
+        by_blob[0 if r["vec_id"] < 100 else 1].add(r["cluster"])
+    # each blob lands wholly in one (distinct) cell
+    assert len(by_blob[0]) == 1 and len(by_blob[1]) == 1
+    assert by_blob[0] != by_blob[1]
+
+
+def test_knn_ivf_recall(spark, embeddings):
+    from parallel_connected_components_spark.operators import knn_ivf
+
+    qids = list(range(10))
+    exact = knn_bruteforce(embeddings, qids, k=5).collect()
+    approx = knn_ivf(embeddings, qids, k=5, num_centroids=8, nprobe=3).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, recall
+    # full probe = exact: nprobe == num_centroids degenerates to brute force
+    full = knn_ivf(embeddings, qids, k=5, num_centroids=4, nprobe=4).collect()
+    full_set = {(r["query_id"], r["neighbor_id"]) for r in full}
+    assert full_set == exact_set
