@@ -2,21 +2,26 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio libraries, so the decode kernels are
-STUBBED (deterministic fakes keyed on content hash, or
-NotImplementedError when ``strict=True``) — but everything Spark-side is
-real and tested: schema, partitioning, UDF signatures, batch shapes.
-Swapping a real decoder in changes only the ``_fake_*`` bodies.
+Decode is REAL for container-decodable formats — no external libraries
+needed: PPM (P6) images parse with numpy, PCM WAV audio with the stdlib
+``wave`` module. Compressed formats (JPEG/PNG/MP3/MP4) would need codecs
+absent from this container, so those payloads fall back to a
+clearly-marked deterministic fake (or raise under ``strict=True`` — the
+integration gate where PIL/librosa/ffmpeg would plug in). The Spark-side
+contract is identical either way: schema, partitioning, UDF signatures,
+batch shapes, and every feature component normalized into [0, 1).
 
 Scale notes: payloads stay in the binary column end-to-end (Arrow
-transfers them zero-copy to the Python worker); feature extraction is a
-projection (no shuffle); ``maxRecordsPerBatch`` bounds worker memory for
-large blobs.
+transfers them to the Python worker in columnar batches); feature
+extraction and resize are projections (no shuffle);
+``maxRecordsPerBatch`` bounds worker memory for large blobs.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -31,59 +36,211 @@ MEDIA_SCHEMA = (
 FEATURE_DIM = 16
 
 
-def gen_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table: payload bytes derived from
-    xxhash64 (a stand-in for real encoded frames/samples)."""
-    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
-    i = F.col("id")
-    kind = F.element_at(kinds, (F.pmod(F.xxhash64(i, F.lit(seed)), F.lit(3)) + 1).cast("int"))
-    payload = F.encode(
-        F.concat_ws(
-            ":",
-            kind,
-            i.cast("string"),
-            F.md5(F.concat(i.cast("string"), F.lit(seed))).cast("string"),
-        ),
-        "UTF-8",
-    )
-    return spark.range(n).select(
-        i.alias("media_id"),
-        kind.alias("kind"),
-        payload.alias("payload"),
-        F.when(kind == "image", (F.pmod(F.xxhash64(i, F.lit("w")), F.lit(1920)) + 1).cast("int")).alias("width"),
-        F.when(kind == "image", (F.pmod(F.xxhash64(i, F.lit("h")), F.lit(1080)) + 1).cast("int")).alias("height"),
-        F.when(kind != "image", (F.pmod(F.xxhash64(i, F.lit("d")), F.lit(600000)) + 1).cast("int")).alias("duration_ms"),
-        F.when(kind == "audio", F.lit(16000).cast("int")).alias("sample_rate"),
-    )
+# --------------------------------------------------------------------------
+# Real codecs (no external libraries): PPM P6 + PCM WAV
+# --------------------------------------------------------------------------
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8. Handles comments + arbitrary
+    header whitespace per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    idx, tokens = 2, []
+    while len(tokens) < 3:
+        while idx < len(payload) and payload[idx : idx + 1].isspace():
+            idx += 1
+        if payload[idx : idx + 1] == b"#":
+            while idx < len(payload) and payload[idx : idx + 1] != b"\n":
+                idx += 1
+            continue
+        start = idx
+        while idx < len(payload) and not payload[idx : idx + 1].isspace():
+            idx += 1
+        tokens.append(int(payload[start:idx]))
+    idx += 1  # exactly one whitespace byte after maxval, then raster
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=idx)
+    return data.reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples → PCM WAV bytes (stdlib wave)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(np.ascontiguousarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes → (int16 mono samples, sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        sr = wf.getframerate()
+        n = wf.getnframes()
+        raw = wf.readframes(n)
+        samples = np.frombuffer(raw, dtype="<i2")
+        if wf.getnchannels() > 1:  # downmix
+            samples = samples.reshape(-1, wf.getnchannels()).mean(axis=1).astype("<i2")
+    return samples, sr
+
+
+# --------------------------------------------------------------------------
+# Feature kernels — every component in [0, 1)
+# --------------------------------------------------------------------------
+
+def image_features(arr: np.ndarray) -> list[float]:
+    """FEATURE_DIM stats of a decoded (h, w, 3) image: dims, aspect,
+    per-channel mean/std, luminance distribution."""
+    h, w = arr.shape[:2]
+    px = arr.reshape(-1, 3).astype(np.float64)
+    lum = px @ np.array([0.299, 0.587, 0.114])
+    q = np.percentile(lum, [25, 50, 75])
+    feats = [
+        min(h, 4095) / 4096.0,
+        min(w, 4095) / 4096.0,
+        w / (w + h),
+        px[:, 0].mean() / 256.0,
+        px[:, 1].mean() / 256.0,
+        px[:, 2].mean() / 256.0,
+        px[:, 0].std() / 128.0,
+        px[:, 1].std() / 128.0,
+        px[:, 2].std() / 128.0,
+        lum.mean() / 256.0,
+        lum.std() / 128.0,
+        q[0] / 256.0,
+        q[1] / 256.0,
+        q[2] / 256.0,
+        lum.min() / 256.0,
+        lum.max() / 256.0,
+    ]
+    return [float(min(max(x, 0.0), 1.0 - 1e-9)) for x in feats]
+
+
+def audio_features(samples: np.ndarray, sample_rate: int) -> list[float]:
+    """FEATURE_DIM stats of mono int16 PCM: duration, level stats,
+    zero-crossing rate, and an 11-band normalized spectrum."""
+    x = samples.astype(np.float64) / 32768.0
+    n = max(len(x), 1)
+    dur = n / max(sample_rate, 1)
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    bands = np.array_split(spec, 11)
+    energy = np.array([b.sum() for b in bands])
+    total = energy.sum()
+    fracs = (energy / total) if total > 0 else np.zeros(11)
+    feats = [
+        min(dur, 59.999) / 60.0,
+        float(np.sqrt(np.mean(x**2))),
+        float(np.abs(x).max(initial=0.0)),
+        float(np.abs(x).mean()),
+        zcr,
+        *fracs.tolist(),
+    ]
+    return [float(min(max(v, 0.0), 1.0 - 1e-9)) for v in feats]
 
 
 def _fake_decode_features(payload: bytes, kind: str) -> list[float]:
-    """STUB for a real decoder (PIL/librosa/ffmpeg not in container):
-    deterministic FEATURE_DIM-vector from the content digest. A real
-    implementation decodes the media and runs a feature extractor."""
+    """Fallback for formats whose codecs are NOT in this container
+    (JPEG/PNG/MP3/MP4 …): deterministic FEATURE_DIM-vector from the
+    content digest. The clearly-marked integration point for a real
+    decoder (PIL/librosa/ffmpeg)."""
     h = hashlib.md5(payload).digest()
     rng = np.frombuffer((h * ((FEATURE_DIM * 4) // len(h) + 1))[: FEATURE_DIM * 4], dtype="<u4")
     return (rng.astype("float64") / 2**32).tolist()
 
+
+def decode_features(payload: bytes, kind: str, strict: bool = False) -> list[float]:
+    """Dispatch on the payload magic: real decode where the format is
+    container-decodable, fake (or raise, strict) otherwise."""
+    if payload[:2] == b"P6":
+        return image_features(decode_ppm(payload))
+    if payload[:4] == b"RIFF":
+        return audio_features(*decode_wav(payload))
+    if strict:
+        raise NotImplementedError(
+            f"no in-container decoder for this payload (kind={kind}); "
+            "JPEG/PNG/MP3/MP4 need image/audio libraries absent here — "
+            "wire one into decode_features"
+        )
+    return _fake_decode_features(payload, kind)
+
+
+# --------------------------------------------------------------------------
+# Synthetic media table — REAL payloads for image (PPM) and audio (WAV)
+# --------------------------------------------------------------------------
+
+def gen_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table. Image rows carry real PPM
+    payloads (id-keyed gradients), audio rows real WAV payloads (id-keyed
+    sine tones) — both decodable end-to-end; video rows keep opaque fake
+    bytes (no in-container video codec), exercising the fallback path."""
+    base = spark.range(n).select(F.col("id").alias("media_id"))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"].tolist():
+                k = ["image", "audio", "video"][mid % 3]
+                if k == "image":
+                    w, h = 16 + mid % 32, 12 + mid % 24
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    r = ((xx * (1 + mid % 7)) % 256).astype(np.uint8)
+                    g = ((yy * (2 + mid % 5)) % 256).astype(np.uint8)
+                    b = ((xx + yy + mid) % 256).astype(np.uint8)
+                    payload = encode_ppm(np.stack([r, g, b], axis=-1))
+                    rows.append((mid, k, payload, w, h, None, None))
+                elif k == "audio":
+                    sr = 16000
+                    dur_ms = 50 + (mid * 37) % 150
+                    t = np.arange(int(sr * dur_ms / 1000))
+                    freq = 200.0 + (mid * 13) % 800
+                    samples = (
+                        np.sin(2 * np.pi * freq * t / sr) * (8000 + (mid * 97) % 8000)
+                    ).astype("<i2")
+                    payload = encode_wav(samples, sr)
+                    rows.append((mid, k, payload, None, None, dur_ms, sr))
+                else:
+                    payload = f"video:{mid}:{hashlib.md5(str((mid, seed)).encode()).hexdigest()}".encode()
+                    dur_ms = 1 + (mid * 7919) % 600000
+                    rows.append((mid, k, payload, None, None, dur_ms, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "width", "height",
+                    "duration_ms", "sample_rate",
+                ],
+            )
+
+    return base.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Operators
+# --------------------------------------------------------------------------
 
 def extract_features(
     media: DataFrame, strict: bool = False, batch_note_col: str | None = None
 ) -> DataFrame:
     """media → (media_id, kind, feature array<double>, n_bytes int).
 
-    ``strict=True`` raises NotImplementedError where a real decoder is
-    required — the clearly-marked integration point."""
+    Real decode for PPM/WAV payloads; content-hash fake for formats with
+    no in-container codec (``strict=True`` raises there instead — the
+    integration gate)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real media decoding requires image/audio libraries "
-                    "not present in this container; wire a decoder into "
-                    "_fake_decode_features"
-                )
             feats = [
-                _fake_decode_features(bytes(p), k)
+                decode_features(bytes(p), k, strict=strict)
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(
@@ -101,8 +258,9 @@ def extract_features(
 
 
 def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize plan: computes target dims JVM-side (aspect-preserving),
-    payload re-encode is the stubbed step (passthrough here)."""
+    """Resize plan: target dims computed JVM-side (aspect-preserving);
+    :func:`resize_ppm` performs the actual pixel resample for PPM
+    payloads."""
     scale = F.when(
         F.greatest("width", "height") > max_side,
         F.lit(max_side) / F.greatest("width", "height").cast("double"),
@@ -110,14 +268,40 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     return media.filter(F.col("kind") == "image").select(
         "media_id",
         "payload",
-        F.round(F.col("width") * scale).cast("int").alias("target_width"),
-        F.round(F.col("height") * scale).cast("int").alias("target_height"),
+        F.greatest(F.round(F.col("width") * scale).cast("int"), F.lit(1)).alias("target_width"),
+        F.greatest(F.round(F.col("height") * scale).cast("int"), F.lit(1)).alias("target_height"),
+    )
+
+
+def resize_ppm(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Actually resample PPM image payloads to fit max_side
+    (nearest-neighbor, pure numpy) → (media_id, payload, width, height).
+    Arrow-batched projection, no shuffle."""
+    planned = resize_images(media, max_side)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, p, tw, th in zip(
+                pdf["media_id"], pdf["payload"], pdf["target_width"], pdf["target_height"]
+            ):
+                arr = decode_ppm(bytes(p))
+                h, w = arr.shape[:2]
+                ys = (np.arange(th) * h / th).astype(int)
+                xs = (np.arange(tw) * w / tw).astype(int)
+                resized = arr[ys][:, xs]
+                out.append((mid, encode_ppm(resized), int(tw), int(th)))
+            yield pd.DataFrame(out, columns=["media_id", "payload", "width", "height"])
+
+    return planned.mapInPandas(
+        run, schema="media_id long, payload binary, width int, height int"
     )
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video: one output row per sampled
-    timestamp (explode of a JVM-side sequence); frame decode stubbed."""
+    timestamp (explode of a JVM-side sequence); frame decode is behind
+    the strict gate (no in-container video codec)."""
     return (
         media.filter(F.col("kind") == "video")
         .select(

@@ -1,18 +1,54 @@
-"""Multimodal plumbing: schema, Arrow batch shapes, deterministic stub
-features, resize/frame-sample plans, strict-mode integration gate."""
+"""Multimodal: real PPM/WAV codecs (no external libs), feature kernels,
+Arrow batch shapes, real resize, strict-mode integration gate for
+formats without an in-container codec."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from parallel_connected_components_spark.operators.multimodal import (
     FEATURE_DIM,
+    audio_features,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
     extract_features,
     gen_media,
+    image_features,
     resize_images,
+    resize_ppm,
     sample_frames,
 )
+
+
+def test_ppm_roundtrip():
+    arr = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    back = decode_ppm(encode_ppm(arr))
+    assert np.array_equal(arr, back)
+    # comments + arbitrary whitespace in the header per spec
+    with_comment = b"P6\n# a comment\n4  5\n255\n" + arr.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), arr)
+
+
+def test_wav_roundtrip():
+    samples = (np.sin(np.linspace(0, 20, 800)) * 12000).astype("<i2")
+    back, sr = decode_wav(encode_wav(samples, 16000))
+    assert sr == 16000
+    assert np.array_equal(samples, back)
+
+
+def test_feature_kernels_reflect_content():
+    dark = image_features(np.zeros((8, 8, 3), dtype=np.uint8))
+    light = image_features(np.full((8, 8, 3), 250, dtype=np.uint8))
+    assert light[9] > dark[9]  # luminance mean
+    assert all(0.0 <= x < 1.0 for x in dark + light)
+    low = audio_features((np.sin(np.linspace(0, 50, 4000)) * 9000).astype("<i2"), 16000)
+    loud = audio_features((np.sin(np.linspace(0, 50, 4000)) * 30000).astype("<i2"), 16000)
+    assert loud[1] > low[1]  # rms
+    assert len(low) == len(dark) == FEATURE_DIM
 
 
 def test_media_schema_and_determinism(spark):
@@ -25,34 +61,55 @@ def test_media_schema_and_determinism(spark):
     assert m1.exceptAll(m2).count() == 0
 
 
-def test_extract_features_shapes(spark):
-    media = gen_media(spark, 40)
+def test_extract_features_real_decode(spark):
+    media = gen_media(spark, 42)
     feats = extract_features(media)
     rows = feats.collect()
-    assert len(rows) == 40
+    assert len(rows) == 42
     for r in rows:
         assert len(r["feature"]) == FEATURE_DIM
         assert all(0.0 <= x < 1.0 for x in r["feature"])
         assert r["n_bytes"] > 0
-    # deterministic across runs and partitionings
+    # images: the luminance-mean feature must match a local numpy decode
+    img = media.filter("kind = 'image'").limit(3).collect()
+    got = {r["media_id"]: r["feature"] for r in rows}
+    for r in img:
+        expect = image_features(decode_ppm(bytes(r["payload"])))
+        assert got[r["media_id"]] == pytest.approx(expect)
+    # audio: same for the rms feature vector
+    aud = media.filter("kind = 'audio'").limit(3).collect()
+    for r in aud:
+        expect = audio_features(*decode_wav(bytes(r["payload"])))
+        assert got[r["media_id"]] == pytest.approx(expect)
+    # deterministic across partitionings
     again = {r["media_id"]: r["feature"] for r in extract_features(media.repartition(7)).collect()}
     for r in rows:
         assert again[r["media_id"]] == r["feature"]
 
 
-def test_strict_mode_raises(spark):
-    media = gen_media(spark, 5)
-    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
-        extract_features(media, strict=True).collect()
+def test_strict_mode_raises_only_without_codec(spark):
+    media = gen_media(spark, 12)
+    # image + audio decode for real — strict passes
+    ok = extract_features(media.filter("kind != 'video'"), strict=True).collect()
+    assert ok
+    # video has no in-container codec — strict raises at the gate
+    with pytest.raises(Exception, match="NotImplementedError|no in-container decoder"):
+        extract_features(media.filter("kind = 'video'"), strict=True).collect()
 
 
-def test_resize_plan(spark):
-    media = gen_media(spark, 100)
-    out = resize_images(media, max_side=256).collect()
-    assert out  # some images exist
-    for r in out:
-        assert max(r["target_width"], r["target_height"]) <= 257  # rounding slack
+def test_resize_plan_and_real_resample(spark):
+    media = gen_media(spark, 60)
+    planned = resize_images(media, max_side=16).collect()
+    assert planned
+    for r in planned:
+        assert max(r["target_width"], r["target_height"]) <= 17  # rounding slack
         assert r["target_width"] >= 1 and r["target_height"] >= 1
+    resized = resize_ppm(media, max_side=16).collect()
+    assert len(resized) == len(planned)
+    for r in resized:
+        arr = decode_ppm(bytes(r["payload"]))
+        assert arr.shape == (r["height"], r["width"], 3)
+        assert max(r["width"], r["height"]) <= 17
 
 
 def test_frame_sampling(spark):
