@@ -750,11 +750,23 @@ def build_queries():
     def _retained_users(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
         # midpoint via pure NTZ arithmetic (timestamp_diff/add) — no
-        # unix_timestamp, which would depend on the driver's session TZ
+        # unix_timestamp, which would depend on the driver's session TZ.
+        # min/max truncate to whole seconds BEFORE the diff: DuckDB's
+        # date_diff counts second-boundary crossings while Spark's
+        # timestamp_diff truncates the exact microsecond difference, and
+        # they disagree by 1s whenever frac(min) > frac(max) — same
+        # cross-engine hazard fixed in events_sessions
         mid = ev.agg(
             F.timestamp_add(
                 "SECOND",
-                (F.timestamp_diff("SECOND", F.min("ts"), F.max("ts")) / F.lit(2))
+                (
+                    F.timestamp_diff(
+                        "SECOND",
+                        F.date_trunc("second", F.min("ts")),
+                        F.date_trunc("second", F.max("ts")),
+                    )
+                    / F.lit(2)
+                )
                 .cast("long"),
                 F.min("ts"),
             ).alias("m")
@@ -867,9 +879,13 @@ def build_queries():
     )
 
     # ---------------- multi-table joins (star-schema, broadcast dims) -------
-    # The dimension sides (region 5, nation 25, customer |SF|·1.5k rows)
-    # are broadcast explicitly — the fact-table joins are the only
-    # shuffles; money sums go through DECIMAL so both engines sum exactly.
+    # Fixed-size dimensions (region 5 rows, nation 25) are broadcast
+    # explicitly; customer GROWS with SF (150k rows per SF unit), so the
+    # customer-derived dim is left to the planner — AQE broadcasts it at
+    # these SFs and would rightly shuffle-join it at warehouse scale,
+    # where a forced F.broadcast would build a fact-sized hashed relation
+    # on the driver. Money sums go through DECIMAL so both engines sum
+    # exactly.
     def _rev_nation(spark, sf):
         customer = spark.read.parquet(f"{sf}/customer.parquet")
         orders = spark.read.parquet(f"{sf}/orders.parquet")
@@ -894,7 +910,7 @@ def build_queries():
         return (
             lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
             .join(ord_97, lineitem["l_orderkey"] == ord_97["o_orderkey"])
-            .join(F.broadcast(dim), ord_97["o_custkey"] == dim["c_custkey"])
+            .join(dim, ord_97["o_custkey"] == dim["c_custkey"])
             .groupBy("n_name")
             .agg(
                 F.sum(

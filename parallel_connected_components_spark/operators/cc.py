@@ -326,6 +326,7 @@ def cc_afforest(
     num_samples: int = 1024,
     checkpoint_dir: str | None = None,
     max_iterations: int = 50,
+    detect_giant: bool = True,
 ) -> tuple[DataFrame, FixpointRunner]:
     """Afforest (Sutton/Ben-Nun/Barak, IPDPS'18) re-expressed as Spark
     dataflow — the reference's best algorithm on skewed graphs
@@ -391,19 +392,22 @@ def cc_afforest(
         return out, runner
 
     # giant detection — the sampling vote, recorded like the reference's
-    # "skipping component X (sampled share Y)" progress line
-    from .stats import giant_component_sample
+    # "skipping component X (sampled share Y)" progress line. Purely
+    # diagnostic here (the contraction below subsumes the skip), so it is
+    # flag-gated: it costs a count + a sample job on the critical path.
+    if detect_giant:
+        from .stats import giant_component_sample
 
-    giant_label, giant_hits = giant_component_sample(
-        labels_a, num_samples=num_samples
-    )
-    runner.metrics.append(
-        IterationMetrics(
-            len(runner.metrics), -1, 0.0,
-            extra={"phase": "giant_sample", "giant_label": giant_label,
-                   "giant_hits": giant_hits, "num_samples": num_samples},
+        giant_label, giant_hits = giant_component_sample(
+            labels_a, num_samples=num_samples
         )
-    )
+        runner.metrics.append(
+            IterationMetrics(
+                len(runner.metrics), -1, 0.0,
+                extra={"phase": "giant_sample", "giant_label": giant_label,
+                       "giant_hits": giant_hits, "num_samples": num_samples},
+            )
+        )
 
     # phase b: contract through phase-a labels, finish on the remainder
     la = labels_a.withColumnsRenamed({"vertex": "src", "label": "_ls"})
@@ -496,6 +500,13 @@ def cc_label_propagation(
     e0 = edges_sym.select("src", "dst").repartition(n_part, "src").persist()
     e0.count()
     live_edges = {"df": e0}
+    # Frontier invariant: every live edge must have carried its source's
+    # CURRENT label at least once. Edges added by a prune rewrite violate
+    # it when their source last changed BEFORE the prune (it would never
+    # resend, stranding the other endpoint at a stale label — regression
+    # test: test_label_prop_prune_frontier_stale_shortcut). The prune
+    # therefore queues every rewritten edge's source to send once more.
+    pending_senders = {"df": None}
     obs_holder: dict[int, Observation] = {}
 
     def step(state: DataFrame, it: int) -> DataFrame:
@@ -510,6 +521,13 @@ def cc_label_propagation(
         # reports UnknownPartitioning, so co-partitioning could not save
         # it. Measured: -20% wall at sf0.1, 2 fewer stages/iteration.
         senders = state.filter("changed") if frontier else state
+        senders = senders.select("vertex", "label")
+        if frontier and pending_senders["df"] is not None:
+            extra = state.join(pending_senders["df"], "vertex", "left_semi").select(
+                "vertex", "label"
+            )
+            senders = senders.union(extra).dropDuplicates(["vertex"])
+            pending_senders["df"] = None
         senders = senders.select(F.col("vertex").alias("src"), "label").hint("shuffle_hash")
         msgs = (
             live_edges["df"]
@@ -535,25 +553,35 @@ def cc_label_propagation(
 
     def converged(new_state: DataFrame, it: int):
         changed = obs_holder.pop(it).get["changed"] or 0
+        # the `changed` guard also guarantees at least one more iteration
+        # runs after a rewrite, so the queued pending_senders always fire
         if prune_every and changed and (it + 1) % prune_every == 0:
             lab = new_state.select("vertex", "label")
+            # materialized once — keep/stars both read it (the double
+            # label join would otherwise recompute per consumer)
             tagged = (
                 live_edges["df"]
                 .join(lab.withColumnsRenamed({"vertex": "src", "label": "_ls"}), "src")
                 .join(lab.withColumnsRenamed({"vertex": "dst", "label": "_ld"}), "dst")
+                .localCheckpoint(eager=True)
             )
             keep = tagged.filter(F.col("_ls") != F.col("_ld")).select("src", "dst")
             # Shortcuts for dropped endpoints: (u, l(u)) both directions,
             # frozen at this round's labels. Keeps the rewritten graph's
             # components identical to the original (see docstring proof);
             # self-shortcuts (l(u)==u) are meaningless and filtered.
+            # Single pass over the dropped set via inline explode.
             dropped_stars = (
                 tagged.filter(F.col("_ls") == F.col("_ld"))
-                .select(F.col("src").alias("vertex"), F.col("_ls").alias("lab"))
-                .union(
-                    tagged.filter(F.col("_ls") == F.col("_ld"))
-                    .select(F.col("dst").alias("vertex"), F.col("_ld").alias("lab"))
+                .select(
+                    F.explode(
+                        F.array(
+                            F.struct(F.col("src").alias("vertex"), F.col("_ls").alias("lab")),
+                            F.struct(F.col("dst").alias("vertex"), F.col("_ld").alias("lab")),
+                        )
+                    ).alias("p")
                 )
+                .select("p.vertex", "p.lab")
                 .filter(F.col("vertex") != F.col("lab"))
                 .dropDuplicates(["vertex", "lab"])
             )
@@ -564,6 +592,14 @@ def cc_label_propagation(
             )
             e = keep.union(shortcuts).dropDuplicates(["src", "dst"])
             live_edges["df"] = e.repartition(n_part, "src").localCheckpoint(eager=True)
+            tagged.unpersist()
+            # frontier invariant repair: every rewritten edge's source
+            # must send its current label once over the new edge set
+            pending_senders["df"] = (
+                shortcuts.select(F.col("src").alias("vertex"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
             return changed, {"live_edges": live_edges["df"].count()}
         return changed, {}
 

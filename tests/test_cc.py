@@ -188,3 +188,21 @@ def test_afforest_hub_graph(spark):
     assert labels_dict(labels) == union_find_oracle(edges)
     giant = [m for m in runner.metrics if m.extra.get("phase") == "giant_sample"]
     assert giant and giant[0].extra["giant_label"] == 0
+
+
+def test_label_prop_prune_frontier_stale_shortcut(spark):
+    """Round-2 review regression: a shortcut edge added at prune time
+    whose source last changed BEFORE the prune must still deliver that
+    source's current label (the prune queues rewritten-edge sources to
+    resend once). Chain 0-8-9-1-2-3-4-5 with prune_every=2 stranded
+    vertex 5 at label 1 before the fix."""
+    chain = [(0, 8), (8, 9), (9, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+    sym = symmetrize(spark.createDataFrame(chain, "src long, dst long"))
+    got = labels_dict(cc_label_propagation(spark, sym, prune_every=2)[0])
+    assert got == union_find_oracle(chain)
+    # and on a longer path (worst case for stale shortcuts: the minimum
+    # travels the full diameter) — shortcuts compress it as they appear
+    path = [(i, i + 1) for i in range(12)]
+    sym2 = symmetrize(spark.createDataFrame(path, "src long, dst long"))
+    got = labels_dict(cc_label_propagation(spark, sym2, prune_every=1)[0])
+    assert got == union_find_oracle(path)
