@@ -74,3 +74,34 @@ def test_cc_matches_oracle_on_arbitrary_graphs(spark, edges):
     # in self-loops are isolated and (absent a vertex table) unreported
     expect = union_find_oracle([(u, v) for u, v in edges if u != v])
     assert labels == expect
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=80
+    ),
+    prune_every=st.integers(1, 3),
+)
+def test_label_prop_prune_matches_oracle_fuzz(spark, edges, prune_every):
+    """Adversarial check of the prune-rewrite path (shortcut edges +
+    frontier-invariant repair): arbitrary graphs × prune cadences must
+    equal the union-find oracle."""
+    from parallel_connected_components_spark.operators import (
+        cc_label_propagation,
+        symmetrize,
+    )
+
+    clean = [(u, v) for u, v in edges if u != v]
+    if not clean:
+        return
+    df = spark.createDataFrame(clean, "src long, dst long")
+    labels = {
+        r["vertex"]: r["label"]
+        for r in cc_label_propagation(spark, symmetrize(df), prune_every=prune_every)[0].collect()
+    }
+    assert labels == union_find_oracle(clean)
