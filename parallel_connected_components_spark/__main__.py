@@ -72,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--max-iterations", type=int, default=100)
     p.add_argument("--cores", type=int, default=None)
+    p.add_argument(
+        "--algorithm",
+        choices=["two_phase", "stars", "labelprop", "afforest"],
+        default="two_phase",
+        help="CC variant (the reference's algorithm flag, main.c:60-163)",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark(f"pccs-{args.command}", cores=args.cores)
@@ -87,9 +93,31 @@ def main(argv: list[str] | None = None) -> int:
             out["pages"] = args.num_pages
         elif args.command == "cc":
             edges, verts = _load_edges(spark, args)
-            labels, runner = cc_two_phase(
-                spark, edges, vertices=verts, checkpoint_dir=args.checkpoint_dir
-            )
+            if args.algorithm == "stars":
+                from .operators import cc_alternating_stars
+
+                labels, runner = cc_alternating_stars(
+                    spark, edges, vertices=verts,
+                    checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+                )
+            elif args.algorithm == "labelprop":
+                from .operators import cc_label_propagation
+
+                labels, runner = cc_label_propagation(
+                    spark, symmetrize(edges), vertices=verts,
+                    checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+                )
+            elif args.algorithm == "afforest":
+                from .operators import cc_afforest
+
+                labels, runner = cc_afforest(
+                    spark, edges, vertices=verts, checkpoint_dir=args.checkpoint_dir
+                )
+            else:
+                labels, runner = cc_two_phase(
+                    spark, edges, vertices=verts, checkpoint_dir=args.checkpoint_dir
+                )
+            out["algorithm"] = args.algorithm
             out["num_components"] = count_components(labels)
             out["iterations"] = runner.num_iterations
             if args.out:
