@@ -93,12 +93,20 @@ def main(argv: list[str] | None = None) -> int:
             out["pages"] = args.num_pages
         elif args.command == "cc":
             edges, verts = _load_edges(spark, args)
+            if args.resume and args.algorithm in ("two_phase", "afforest"):
+                # neither is a single resumable fixpoint (multi-phase
+                # pipelines); fail loudly instead of silently recomputing
+                raise SystemExit(
+                    f"--resume is not supported for --algorithm {args.algorithm}; "
+                    "use stars or labelprop"
+                )
             if args.algorithm == "stars":
                 from .operators import cc_alternating_stars
 
                 labels, runner = cc_alternating_stars(
                     spark, edges, vertices=verts,
                     checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+                    max_iterations=args.max_iterations,
                 )
             elif args.algorithm == "labelprop":
                 from .operators import cc_label_propagation
@@ -106,16 +114,19 @@ def main(argv: list[str] | None = None) -> int:
                 labels, runner = cc_label_propagation(
                     spark, symmetrize(edges), vertices=verts,
                     checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+                    max_iterations=args.max_iterations,
                 )
             elif args.algorithm == "afforest":
                 from .operators import cc_afforest
 
                 labels, runner = cc_afforest(
-                    spark, edges, vertices=verts, checkpoint_dir=args.checkpoint_dir
+                    spark, edges, vertices=verts, checkpoint_dir=args.checkpoint_dir,
+                    max_iterations=args.max_iterations,
                 )
             else:
                 labels, runner = cc_two_phase(
-                    spark, edges, vertices=verts, checkpoint_dir=args.checkpoint_dir
+                    spark, edges, vertices=verts, checkpoint_dir=args.checkpoint_dir,
+                    max_iterations=args.max_iterations,
                 )
             out["algorithm"] = args.algorithm
             out["num_components"] = count_components(labels)

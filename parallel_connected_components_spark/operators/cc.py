@@ -592,17 +592,27 @@ def cc_label_propagation(
             )
             e = keep.union(shortcuts).dropDuplicates(["src", "dst"])
             live_edges["df"] = e.repartition(n_part, "src").localCheckpoint(eager=True)
-            tagged.unpersist()
             # frontier invariant repair: every rewritten edge's source
-            # must send its current label once over the new edge set
-            pending_senders["df"] = (
-                shortcuts.select(F.col("src").alias("vertex"))
-                .distinct()
-                .localCheckpoint(eager=True)
-            )
+            # must send its current label once over the new edge set.
+            # (frontier=False resends everything every round — the
+            # invariant holds trivially, skip the extra job there.)
+            if frontier:
+                pending_senders["df"] = (
+                    shortcuts.select(F.col("src").alias("vertex"))
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
             return changed, {"live_edges": live_edges["df"].count()}
         return changed, {}
 
+    if resume and frontier:
+        # a resumed snapshot restores labels with changed=False for
+        # settled vertices while live_edges resets to the FULL edge
+        # table — edges that were pruned before the snapshot have never
+        # carried their source's current label, so schedule one full
+        # resend round to re-establish the frontier invariant (harmless
+        # when no snapshot exists: the fresh init is all-changed anyway)
+        pending_senders["df"] = verts.select(F.col("id").alias("vertex"))
     final = runner.run(init, step, converged, resume=resume)
     e0.unpersist()
     return final.select("vertex", "label"), runner

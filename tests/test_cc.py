@@ -206,3 +206,22 @@ def test_label_prop_prune_frontier_stale_shortcut(spark):
     sym2 = symmetrize(spark.createDataFrame(path, "src long, dst long"))
     got = labels_dict(cc_label_propagation(spark, sym2, prune_every=1)[0])
     assert got == union_find_oracle(path)
+
+
+def test_label_prop_prune_resume_invariant(spark, tmp_path):
+    """Round-2 review regression: resuming a pruned run restores labels
+    (changed=False for settled vertices) while live_edges resets to the
+    FULL edge table — without the scheduled full resend round, an edge
+    pruned before the snapshot never re-carries its source's current
+    label and the resumed run converges to wrong components."""
+    chain = [(0, 8), (8, 9), (9, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+    sym = symmetrize(spark.createDataFrame(chain, "src long, dst long"))
+    with pytest.raises(RuntimeError):  # cap mid-run, snapshot persisted
+        cc_label_propagation(
+            spark, sym, prune_every=2, checkpoint_dir=str(tmp_path), max_iterations=5
+        )
+    labels, runner = cc_label_propagation(
+        spark, sym, prune_every=2, checkpoint_dir=str(tmp_path), resume=True
+    )
+    assert runner.metrics[0].iteration > 0  # genuinely resumed
+    assert labels_dict(labels) == union_find_oracle(chain)
