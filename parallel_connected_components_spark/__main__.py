@@ -25,7 +25,6 @@ import argparse
 import json
 import sys
 
-from pyspark.sql import functions as F
 
 from .operators import (
     canonicalize,

@@ -22,7 +22,7 @@ common cargo-cult; salting *state-heavy* aggregates is the real fix.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def salted(df: DataFrame, key: str, num_salts: int = 16) -> DataFrame:

@@ -20,7 +20,7 @@ per-partition logic RDD glue is reserved for in SURVEY.md §2.10.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import LongType, StructField, StructType
 
 _EDGE_SCHEMA = StructType(
