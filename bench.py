@@ -90,6 +90,14 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
+    # warm the Python workers + JIT before the first timed query: the
+    # first pandas-UDF stage otherwise pays ~5-15s of worker spin-up that
+    # belongs to the harness, not the engine (measured: minhash cold
+    # 10.2s vs warm 2.9s on an idle box)
+    spark.range(1024).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
+
     # -- pipeline: pages → links (pandas UDF) → edge table -------------------
     pages_path = cached_pages(spark, sf)
     pages = spark.read.parquet(pages_path)
