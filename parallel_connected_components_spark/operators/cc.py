@@ -591,7 +591,20 @@ def cc_label_propagation(
                 dropped_stars.select(F.col("lab").alias("src"), F.col("vertex").alias("dst"))
             )
             e = keep.union(shortcuts).dropDuplicates(["src", "dst"])
-            live_edges["df"] = e.repartition(n_part, "src").localCheckpoint(eager=True)
+            # persist-and-count on top of the checkpoint: localCheckpoint
+            # PRESERVES the original plan's ESTIMATED stats, and Catalyst
+            # join estimates MULTIPLY children's sizeInBytes — so
+            # repeated join→checkpoint rewrite cycles grow the BigInt
+            # stat ~3.7x in DIGITS per prune (measured: 23→73→267→996→…)
+            # until a single stats computation takes minutes and the
+            # driver appears hung. A materialized InMemoryRelation
+            # replaces the estimate with REAL byte sizes, resetting the
+            # growth at every rewrite boundary; the metrics count below
+            # doubles as the materializing action.
+            old_live = live_edges["df"]
+            live_edges["df"] = (
+                e.repartition(n_part, "src").localCheckpoint(eager=True).persist()
+            )
             # frontier invariant repair: every rewritten edge's source
             # must send its current label once over the new edge set.
             # (frontier=False resends everything every round — the
@@ -602,7 +615,10 @@ def cc_label_propagation(
                     .distinct()
                     .localCheckpoint(eager=True)
                 )
-            return changed, {"live_edges": live_edges["df"].count()}
+            n_live = live_edges["df"].count()  # also fills the stats-resetting cache
+            if old_live is not e0:
+                old_live.unpersist()
+            return changed, {"live_edges": n_live}
         return changed, {}
 
     if resume and frontier:
@@ -615,4 +631,6 @@ def cc_label_propagation(
         pending_senders["df"] = verts.select(F.col("id").alias("vertex"))
     final = runner.run(init, step, converged, resume=resume)
     e0.unpersist()
+    if live_edges["df"] is not e0:
+        live_edges["df"].unpersist()
     return final.select("vertex", "label"), runner
