@@ -12,20 +12,23 @@ Parity with the reference's reader (/root/reference/src/mtx_reader.c):
 
 Unlike the C reader (sequential fscanf loop) this is a distributed scan:
 banner/dims are read driver-side from the first bytes; the edge body is a
-parallel text scan + split/cast. The one imperative bit — "skip the single
-header line" — is a per-partition rule (only the partition containing the
-file start drops its first non-comment line), which is exactly the kind of
-per-partition logic RDD glue is reserved for in SURVEY.md §2.10.
+parallel ``spark.read.text`` scan with a JVM-side ``split``/``cast`` — no
+per-row Python anywhere (whole-stage codegen end to end). The single
+positional rule — "skip the dims line" — is expressed declaratively: the
+dims line's whitespace-normalized token vector is excluded by value. For
+``pattern`` matrices this is exact (body lines have 2 tokens, the dims
+line has 3); for value-typed matrices a tiny second branch re-adds any
+body line that coincidentally matches the dims tokens (normally 0 rows),
+so the read is exact in all cases.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
-_EDGE_SCHEMA = StructType(
-    [StructField("src", LongType(), False), StructField("dst", LongType(), False)]
-)
+_WS = r"\s+"
 
 
 def read_mtx_header(path: str) -> dict:
@@ -35,13 +38,23 @@ def read_mtx_header(path: str) -> dict:
         line = f.readline()
         while line.startswith("%"):
             line = f.readline()
-        rows, cols, nnz = (int(x) for x in line.split()[:3])
+        dims_tokens = line.split()
+        rows, cols, nnz = (int(x) for x in dims_tokens[:3])
+        # Peek one body line to learn its arity: 2 tokens (pattern) vs 3+
+        # (explicit values). Decides whether a dims-line collision is even
+        # possible below. Empty body (nnz=0) → None.
+        body_line = f.readline()
+        while body_line.startswith("%") or (body_line and not body_line.strip()):
+            body_line = f.readline()
+        body_arity = len(body_line.split()) if body_line.strip() else None
     return {
         "symmetric": symmetric,
         "rows": rows,
         "cols": cols,
         "nnz": nnz,
         "num_vertices": max(rows, cols),
+        "dims_tokens": dims_tokens,
+        "body_arity": body_arity,
     }
 
 
@@ -53,30 +66,34 @@ def read_mtx(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     skip at src/graph.c:70-73 living in the build, not the scan).
     """
     header = read_mtx_header(path)
+    dims = F.array(*(F.lit(t) for t in header["dims_tokens"]))
 
-    # Number of physical lines up to and including the dims line, counted
-    # driver-side (the header is tiny by format definition). Body lines
-    # are then identified positionally via zipWithIndex — deterministic
-    # for text inputs regardless of how blocks split across partitions.
-    n_skip = 0
-    with open(path, "r", encoding="utf-8", errors="replace") as f:
-        for line in f:
-            n_skip += 1
-            if not line.startswith("%"):
-                break
-
-    def parse(pair):
-        line, _ = pair
-        parts = line.split()
-        return (int(parts[0]) - 1, int(parts[1]) - 1)
-
-    rdd = (
-        spark.sparkContext.textFile(path)
-        .zipWithIndex()
-        .filter(lambda p: p[1] >= n_skip and p[0].strip() and not p[0].startswith("%"))
-        .map(parse)
+    body = (
+        spark.read.text(path)
+        .where(~F.col("value").startswith("%"))
+        .where(F.trim(F.col("value")) != "")
+        .select(F.split(F.trim(F.col("value")), _WS).alias("tok"))
     )
-    edges = spark.createDataFrame(rdd, _EDGE_SCHEMA)
+    parsed = body.select(
+        (F.col("tok")[0].cast(LongType()) - 1).alias("src"),
+        (F.col("tok")[1].cast(LongType()) - 1).alias("dst"),
+        "tok",
+    )
+    edges = parsed.where(F.col("tok") != dims).drop("tok")
+
+    if header["body_arity"] is not None and header["body_arity"] >= 3:
+        # Value-typed matrix: a body line can be byte-equal to the dims
+        # line ("rows cols nnz" vs "src dst val"). All matching lines are
+        # identical, so keep all but one — the window touches only those
+        # few rows (normally exactly the dims line itself).
+        w = Window.partitionBy(F.lit(1)).orderBy(F.lit(1))
+        extras = (
+            parsed.where(F.col("tok") == dims)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") > 1)
+            .select("src", "dst")
+        )
+        edges = edges.unionByName(extras)
     return edges, header
 
 
