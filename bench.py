@@ -81,13 +81,28 @@ def main() -> None:
     from parallel_connected_components_spark.operators.similarity import knn_bruteforce
     from parallel_connected_components_spark.entry import build_queries
 
+    # Noise control (round-3 fix): one sample per query cannot support
+    # round-over-round grading — ±25% run-to-run variance is documented at
+    # 32 threads (BENCH/BASELINE.md) and a 2.5x outlier misgraded round 2.
+    # Every headline query now runs REPS times; the official per-query
+    # number is the MEDIAN and the min/max spread is emitted alongside.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     extra: dict[str, float] = {}
 
     def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        out = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        # exact median for odd reps; lower median for even (best-of-2 ≈ min)
+        timings[name] = round(samples[(len(samples) - 1) // 2], 3)
+        spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
         return out
 
     # warm the Python workers + JIT before the first timed query: the
@@ -101,6 +116,12 @@ def main() -> None:
     # -- pipeline: pages → links (pandas UDF) → edge table -------------------
     pages_path = cached_pages(spark, sf)
     pages = spark.read.parquet(pages_path)
+    n_pages = pages.count()
+    # generator contract: blocks of ceil(n/num_components) pages — at
+    # small n the last block can swallow one, so the true count is
+    # ceil(n / block_size), not NUM_COMPONENTS itself
+    block = -(-n_pages // NUM_COMPONENTS)
+    expected_components = -(-n_pages // block)
     edges_raw = edges_from_pages(pages)
     edges_canon = timed(
         "extract_and_build_edges",
@@ -119,7 +140,7 @@ def main() -> None:
     def run_cc_lp():
         labels, runner = cc_label_propagation(spark, edges_sym)
         ncomp = count_components(labels)
-        assert ncomp == NUM_COMPONENTS, f"cc_lp wrong: {ncomp}"
+        assert ncomp == expected_components, f"cc_lp wrong: {ncomp}"
         return runner
 
     cc_runner = timed("cc_labelprop", run_cc_lp)
@@ -133,7 +154,7 @@ def main() -> None:
     def run_cc_2p():
         labels, runner = cc_two_phase(spark, edges_canon, assume_canonical=True)
         ncomp = count_components(labels)
-        assert ncomp == NUM_COMPONENTS, f"cc wrong: {ncomp}"
+        assert ncomp == expected_components, f"cc wrong: {ncomp}"
         return runner
 
     timed("cc_two_phase", run_cc_2p)
@@ -150,7 +171,7 @@ def main() -> None:
         labels, runner = cc_afforest(spark, edges_canon)
         ncomp = count_components(labels)
         extra["cc_afforest_sec"] = round(time.perf_counter() - t0, 3)
-        assert ncomp == NUM_COMPONENTS, f"cc_afforest wrong: {ncomp}"
+        assert ncomp == expected_components, f"cc_afforest wrong: {ncomp}"
 
     run_cc_afforest()
 
@@ -202,9 +223,16 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "reps_per_query": reps,
+        "timing_method": "median of reps (lower median if even); spread=[min,max]",
+        # suite composition by round, so cross-round totals are comparable:
+        # r2 added revenue_by_nation (+~0.9s); r3 changed no membership.
+        "suite_r1": sorted(set(timings) - {"revenue_by_nation"}),
+        "suite_added_r2": ["revenue_by_nation"],
         "sf": sf,
         "cores": cores,
-        "n_pages": pages.count(),
+        "n_pages": n_pages,
         "n_edges_canonical": n_edges,
         **extra,
     }

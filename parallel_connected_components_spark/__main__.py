@@ -130,6 +130,9 @@ def main(argv: list[str] | None = None) -> int:
             out["algorithm"] = args.algorithm
             out["num_components"] = count_components(labels)
             out["iterations"] = runner.num_iterations
+            phases = runner.phase_iterations
+            if set(phases) - {"main"}:  # multi-phase algorithms: break it down
+                out["phase_iterations"] = phases
             if args.out:
                 labels.write.mode("overwrite").parquet(args.out)
         elif args.command == "pagerank":

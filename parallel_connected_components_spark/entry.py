@@ -28,6 +28,8 @@ money-ish sums go through DECIMAL so both engines sum exactly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions.hashing import MERSENNE_31, minhash_params
@@ -59,6 +61,19 @@ SELF_MOD = 17
 MINHASH_PERMS = 8
 SIMHASH_BITS = 60
 KNN_QUERY_IDS = list(range(10))
+
+# media_decode oracle table: FIXED size/seed/path (oracle_sql() strings
+# carry no sf parameter, so the table cannot scale with sf — decode
+# correctness doesn't need it to)
+MEDIA_ORACLE_N = 300
+MEDIA_ORACLE_SEED = 7
+
+
+def _media_oracle_path() -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(
+        repo, ".data", f"media_oracle_n{MEDIA_ORACLE_N}_s{MEDIA_ORACLE_SEED}"
+    )
 
 
 # ===========================================================================
@@ -640,6 +655,41 @@ def build_queries():
         """SELECT doc_id AS media_id,
                octet_length(encode(text)) AS n_bytes
         FROM documents""",
+    )
+
+    # Real PPM/WAV decode under oracle (round 3): the Spark side runs the
+    # actual decoders over a deterministic generated media table; the
+    # DuckDB side re-derives every value from the same payload BLOBs —
+    # image dims parsed out of the escaped P6 header, audio frame count
+    # from the RIFF data-chunk length (stdlib-wave PCM header = 44 bytes).
+    # A broken decode_ppm/decode_wav cannot pass this entry.
+    def _media_decode(spark, sf):
+        from .operators.multimodal import decode_media, gen_media
+
+        path = _media_oracle_path()
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            gen_media(spark, MEDIA_ORACLE_N, seed=MEDIA_ORACLE_SEED).write.mode(
+                "overwrite"
+            ).parquet(path)
+        return decode_media(spark.read.parquet(path))
+
+    _hdr = r"'^P6\\x0A(\d+) (\d+)\\x0A255\\x0A'"
+    q(
+        "media_decode",
+        _media_decode,
+        f"""SELECT media_id, kind, octet_length(payload)::INT AS n_bytes,
+               CASE WHEN kind = 'image'
+                    THEN regexp_extract(payload::VARCHAR, {_hdr}, 1)::INT
+               END AS dec_width,
+               CASE WHEN kind = 'image'
+                    THEN regexp_extract(payload::VARCHAR, {_hdr}, 2)::INT
+               END AS dec_height,
+               CASE WHEN kind = 'audio' THEN sample_rate END AS dec_sample_rate,
+               CASE WHEN kind = 'audio'
+                    THEN ((octet_length(payload) - 44) // 2)::INT
+               END AS dec_n_samples
+        FROM read_parquet('{_media_oracle_path()}/*.parquet')
+        WHERE kind IN ('image', 'audio')""",
     )
 
     # ---------------- window functions over events ---------------------------

@@ -326,7 +326,7 @@ def cc_afforest(
     num_samples: int = 1024,
     checkpoint_dir: str | None = None,
     max_iterations: int = 50,
-    detect_giant: bool = True,
+    detect_giant: bool = False,
 ) -> tuple[DataFrame, FixpointRunner]:
     """Afforest (Sutton/Ben-Nun/Barak, IPDPS'18) re-expressed as Spark
     dataflow — the reference's best algorithm on skewed graphs
@@ -343,6 +343,10 @@ def cc_afforest(
     giant detection (cc_openmp.c:422-496): ~num_samples random vertices
       vote; the plurality label is the probable giant component —
       recorded in the runner metrics (the reference's skew detector).
+      OFF by default: in the reference the vote *feeds* the skip, but
+      here the contraction subsumes the skip, so the vote is purely
+      diagnostic — a count + sample job that doesn't belong on the
+      critical path unless explicitly requested.
 
     phase b (the skip, cc_openmp.c:596-613, strengthened): edges whose
       endpoints share a phase-a label are redundant for connectivity —
@@ -382,6 +386,8 @@ def cc_afforest(
         checkpoint_dir=checkpoint_dir,
         max_iterations=max_iterations,
     )
+    for m in runner.metrics:  # tag so phase_iterations can split a vs b
+        m.extra.setdefault("phase", "a_sample")
     labels_a = labels_a.localCheckpoint(eager=True)
     if labels_a.isEmpty():  # edge-less input: everyone is their own component
         out = (
@@ -426,6 +432,8 @@ def cc_afforest(
         checkpoint_dir=checkpoint_dir, max_iterations=max_iterations,
         assume_canonical=True,
     )
+    for m in runner_b.metrics:
+        m.extra.setdefault("phase", "b_finish")
     runner.metrics.extend(runner_b.metrics)
     labels = (
         labels_a.join(

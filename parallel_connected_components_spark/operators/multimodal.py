@@ -130,19 +130,23 @@ def audio_features(samples: np.ndarray, sample_rate: int) -> list[float]:
     """FEATURE_DIM stats of mono int16 PCM: duration, level stats,
     zero-crossing rate, and an 11-band normalized spectrum."""
     x = samples.astype(np.float64) / 32768.0
-    n = max(len(x), 1)
-    dur = n / max(sample_rate, 1)
-    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
-    spec = np.abs(np.fft.rfft(x)) ** 2
-    bands = np.array_split(spec, 11)
-    energy = np.array([b.sum() for b in bands])
-    total = energy.sum()
-    fracs = (energy / total) if total > 0 else np.zeros(11)
+    dur = len(x) / max(sample_rate, 1)
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+    if len(x) == 0:
+        # valid zero-frame WAV: rfft raises on an empty array; emit the
+        # all-silent feature vector instead of failing the whole stage
+        fracs = np.zeros(11)
+    else:
+        spec = np.abs(np.fft.rfft(x)) ** 2
+        bands = np.array_split(spec, 11)
+        energy = np.array([b.sum() for b in bands])
+        total = energy.sum()
+        fracs = (energy / total) if total > 0 else np.zeros(11)
     feats = [
         min(dur, 59.999) / 60.0,
-        float(np.sqrt(np.mean(x**2))),
+        float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
         float(np.abs(x).max(initial=0.0)),
-        float(np.abs(x).mean()),
+        float(np.abs(x).mean()) if len(x) else 0.0,
         zcr,
         *fracs.tolist(),
     ]
@@ -191,21 +195,24 @@ def gen_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
             rows = []
             for mid in pdf["media_id"].tolist():
                 k = ["image", "audio", "video"][mid % 3]
+                # content key: the seed must actually change payloads
+                # (kind layout stays keyed on media_id for a stable mix)
+                m = mid + seed * 1_000_003
                 if k == "image":
-                    w, h = 16 + mid % 32, 12 + mid % 24
+                    w, h = 16 + m % 32, 12 + m % 24
                     yy, xx = np.mgrid[0:h, 0:w]
-                    r = ((xx * (1 + mid % 7)) % 256).astype(np.uint8)
-                    g = ((yy * (2 + mid % 5)) % 256).astype(np.uint8)
-                    b = ((xx + yy + mid) % 256).astype(np.uint8)
+                    r = ((xx * (1 + m % 7)) % 256).astype(np.uint8)
+                    g = ((yy * (2 + m % 5)) % 256).astype(np.uint8)
+                    b = ((xx + yy + m) % 256).astype(np.uint8)
                     payload = encode_ppm(np.stack([r, g, b], axis=-1))
                     rows.append((mid, k, payload, w, h, None, None))
                 elif k == "audio":
                     sr = 16000
-                    dur_ms = 50 + (mid * 37) % 150
+                    dur_ms = 50 + (m * 37) % 150
                     t = np.arange(int(sr * dur_ms / 1000))
-                    freq = 200.0 + (mid * 13) % 800
+                    freq = 200.0 + (m * 13) % 800
                     samples = (
-                        np.sin(2 * np.pi * freq * t / sr) * (8000 + (mid * 97) % 8000)
+                        np.sin(2 * np.pi * freq * t / sr) * (8000 + (m * 97) % 8000)
                     ).astype("<i2")
                     payload = encode_wav(samples, sr)
                     rows.append((mid, k, payload, None, None, dur_ms, sr))
@@ -254,6 +261,49 @@ def extract_features(
 
     return media.mapInPandas(
         run, schema="media_id long, kind string, feature array<double>, n_bytes int"
+    )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Real-decode verification surface: run the actual PPM/WAV decoders
+    over the payload column and expose what they found — image dims from
+    the P6 header + raster reshape, audio sample rate + frame count from
+    the RIFF header + data chunk. Every value here is independently
+    recomputable from the payload bytes (the driver oracle parses the
+    same blobs in SQL), so a broken decoder cannot pass.
+
+    → (media_id, kind, n_bytes, dec_width, dec_height, dec_sample_rate,
+    dec_n_samples); video rows are excluded (no in-container codec).
+    Arrow-batched projection, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, k, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                b = bytes(p)
+                if k == "image":
+                    arr = decode_ppm(b)
+                    rows.append(
+                        (mid, k, len(b), int(arr.shape[1]), int(arr.shape[0]), None, None)
+                    )
+                else:
+                    samples, sr = decode_wav(b)
+                    rows.append((mid, k, len(b), None, None, int(sr), int(len(samples))))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "kind", "n_bytes", "dec_width",
+                        "dec_height", "dec_sample_rate", "dec_n_samples",
+                    ],
+                )
+
+    return media.filter(F.col("kind").isin("image", "audio")).mapInPandas(
+        run,
+        schema=(
+            "media_id long, kind string, n_bytes int, dec_width int, "
+            "dec_height int, dec_sample_rate int, dec_n_samples int"
+        ),
     )
 
 

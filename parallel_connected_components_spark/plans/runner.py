@@ -51,6 +51,37 @@ class IterationMetrics:
         return d
 
 
+def _shuffle_totals(spark: SparkSession) -> tuple[int, int] | None:
+    """(shuffle read bytes, shuffle write bytes) summed over all stages so
+    far, from the JVM app-status store — the raw material for the
+    reference's per-iteration comm/compute split (its MPI harness prints
+    local-compute vs Alltoallv percentages per run,
+    /root/reference/src/mpi/cc_mpi.c:2309-2330; here the shuffle IS the
+    Alltoallv). Returns None if the internal API is unavailable. Status
+    events post asynchronously, so the listener bus is drained first;
+    per-iteration deltas are diagnostics, not billing."""
+    try:
+        sc = spark.sparkContext
+        try:
+            sc._jsc.sc().listenerBus().waitUntilEmpty()
+        except Exception:  # noqa: BLE001 — drain is best-effort
+            pass
+        jvm, gw = sc._jvm, sc._gateway
+        stages = sc._jsc.sc().statusStore().stageList(
+            jvm.java.util.ArrayList(), False, False,
+            gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+        )
+        it = stages.iterator()
+        read = write = 0
+        while it.hasNext():
+            s = it.next()
+            read += s.shuffleReadBytes()
+            write += s.shuffleWriteBytes()
+        return read, write
+    except Exception:  # noqa: BLE001 — internal API; never fail the loop
+        return None
+
+
 def _partition_histogram(df: DataFrame) -> list[int]:
     """Rows per partition — the per-partition lineage recorded at each
     durable snapshot (and the skew diagnostic: a straggler partition
@@ -78,6 +109,7 @@ class FixpointRunner:
         max_iterations: int = 200,
         record_partition_lineage: bool = True,
         raise_on_cap: bool = True,
+        record_shuffle_bytes: bool = True,
     ):
         self.spark = spark
         self.name = name
@@ -86,6 +118,7 @@ class FixpointRunner:
         self.max_iterations = max_iterations
         self.record_partition_lineage = record_partition_lineage
         self.raise_on_cap = raise_on_cap
+        self.record_shuffle_bytes = record_shuffle_bytes
         self.metrics: list[IterationMetrics] = []
 
     # -- persistence -------------------------------------------------------
@@ -134,6 +167,7 @@ class FixpointRunner:
             state = state.localCheckpoint(eager=True)
 
         prev = None
+        shuffle0 = _shuffle_totals(self.spark) if self.record_shuffle_bytes else None
         for it in range(start_iter, self.max_iterations):
             t0 = time.perf_counter()
             new_state = step_fn(state, it).localCheckpoint(eager=True)
@@ -141,6 +175,15 @@ class FixpointRunner:
             if prev is not None:
                 prev.unpersist()
             prev, state = state, new_state
+            if shuffle0 is not None:
+                shuffle1 = _shuffle_totals(self.spark)
+                if shuffle1 is not None:
+                    extra = dict(
+                        extra,
+                        shuffle_read_bytes=shuffle1[0] - shuffle0[0],
+                        shuffle_write_bytes=shuffle1[1] - shuffle0[1],
+                    )
+                    shuffle0 = shuffle1
             m = IterationMetrics(it, changed, time.perf_counter() - t0, extra=extra)
             if self.tables is not None and (
                 changed == 0 or (it + 1) % self.snapshot_every == 0
@@ -159,5 +202,23 @@ class FixpointRunner:
 
     @property
     def num_iterations(self) -> int:
-        """CCResult.num_iterations analog (/root/reference/inc/cc_sequential.h:8)."""
-        return len(self.metrics)
+        """CCResult.num_iterations analog (/root/reference/inc/cc_sequential.h:8).
+
+        Counts engine iterations only: diagnostic marker rows (recorded
+        with ``changed == -1``, e.g. Afforest's giant-sample vote) are
+        excluded so the count is comparable across ``--algorithm``
+        choices. Multi-phase algorithms additionally report per-phase
+        counts in :attr:`phase_iterations`."""
+        return sum(1 for m in self.metrics if m.changed >= 0)
+
+    @property
+    def phase_iterations(self) -> dict[str, int]:
+        """Iteration count per phase (``extra["phase"]`` tag; untagged
+        metrics count under ``"main"``). Diagnostic rows excluded."""
+        out: dict[str, int] = {}
+        for m in self.metrics:
+            if m.changed < 0:
+                continue
+            key = m.extra.get("phase", "main")
+            out[key] = out.get(key, 0) + 1
+        return out

@@ -43,6 +43,9 @@ def get_spark(
     """
     n = cores if cores is not None else default_parallelism()
     shuffle = shuffle_partitions if shuffle_partitions is not None else max(n, 8)
+    # Under spark-submit on a cluster the master comes from the launcher;
+    # standalone (tests, bench) we pin local[n].
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]")
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
@@ -56,31 +59,30 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Input-split sizing for the local sandbox: bench/test parquet is
-        # ~200MB in ~6MB files, and the default 128MB maxPartitionBytes
-        # bin-packs that into 2-3 input partitions — the scan (and the
-        # pandas-UDF extraction it feeds) then can't use more than 2-3
-        # cores regardless of local[n] (measured: phase profile showed the
-        # scan stage flat from 2→32 cores). 16MB ≈ one task per file here.
-        # On a real cluster reading 100 TB the default is right (files >>
-        # executors) — this is a small-input knob, overridable via env.
-        .config(
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
-        )
     )
+    # Input-split sizing for the local sandbox: bench/test parquet is
+    # ~200MB in ~6MB files, and the default 128MB maxPartitionBytes
+    # bin-packs that into 2-3 input partitions — the scan (and the
+    # pandas-UDF extraction it feeds) then can't use more than 2-3
+    # cores regardless of local[n] (measured: phase profile showed the
+    # scan stage flat from 2→32 cores). 16MB ≈ one task per file here.
+    # On a real cluster reading 100 TB the stock 128MB default is right
+    # (files >> executors), so the override applies ONLY to local[...]
+    # masters; SPARK_GRAFT_MAX_PARTITION_BYTES forces a value anywhere.
+    env_split = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if env_split is not None:
+        builder = builder.config("spark.sql.files.maxPartitionBytes", env_split)
+    elif master.startswith("local"):
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024)
+        )
     # Shuffle spill through tmpfs when available: local-mode shuffles
     # otherwise serialize on one disk and flatten the core-scaling curve
     # (on a real cluster each executor brings its own disks/NVMe).
     shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm")
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
         builder = builder.config("spark.local.dir", os.path.join(shm, "pccs-spark"))
-    # Under spark-submit on a cluster the master comes from the launcher;
-    # standalone (tests, bench) we pin local[n].
-    if "SPARK_GRAFT_MASTER" in os.environ:
-        builder = builder.master(os.environ["SPARK_GRAFT_MASTER"])
-    else:
-        builder = builder.master(f"local[{n}]")
+    builder = builder.master(master)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -184,10 +184,17 @@ def test_afforest_hub_graph(spark):
     e = spark.createDataFrame(edges, "src long, dst long")
     from parallel_connected_components_spark.operators import cc_afforest
 
-    labels, runner = cc_afforest(spark, e)
+    # detect_giant defaults False since round 3 (the vote is diagnostic —
+    # the contraction subsumes the skip); request it to pin its output
+    labels, runner = cc_afforest(spark, e, detect_giant=True)
     assert labels_dict(labels) == union_find_oracle(edges)
     giant = [m for m in runner.metrics if m.extra.get("phase") == "giant_sample"]
     assert giant and giant[0].extra["giant_label"] == 0
+    # per-phase iteration counts split sampling from the finish, and the
+    # diagnostic marker row is excluded from num_iterations
+    phases = runner.phase_iterations
+    assert set(phases) <= {"a_sample", "b_finish"} and phases["a_sample"] >= 1
+    assert runner.num_iterations == sum(phases.values())
 
 
 def test_label_prop_prune_frontier_stale_shortcut(spark):

@@ -59,6 +59,41 @@ def test_media_schema_and_determinism(spark):
     }
     m2 = gen_media(spark, 60)
     assert m1.exceptAll(m2).count() == 0
+    # the seed must actually change payload content (round-3 ADVICE: it
+    # had silently stopped affecting image/audio rows)
+    m3 = gen_media(spark, 60, seed=99)
+    assert m3.exceptAll(m1).count() > 0
+
+
+def test_audio_features_zero_frame_wav():
+    # a valid zero-frame WAV must yield the silent feature vector, not an
+    # FFT crash (round-3 ADVICE)
+    feats = audio_features(np.array([], dtype="<i2"), 16000)
+    assert len(feats) == FEATURE_DIM
+    assert all(v == 0.0 for v in feats)
+    # and through the full decode path
+    samples, sr = decode_wav(encode_wav(np.array([], dtype="<i2"), 8000))
+    assert sr == 8000 and len(samples) == 0
+    assert len(audio_features(samples, sr)) == FEATURE_DIM
+
+
+def test_decode_media_matches_generator_metadata(spark):
+    from parallel_connected_components_spark.operators.multimodal import decode_media
+
+    media = gen_media(spark, 45, seed=3)
+    dec = decode_media(media).join(
+        media.select("media_id", "width", "height", "sample_rate", "duration_ms"),
+        "media_id",
+    )
+    rows = dec.collect()
+    assert len(rows) == sum(1 for i in range(45) if i % 3 != 2)  # no video rows
+    for r in rows:
+        if r["kind"] == "image":
+            assert r["dec_width"] == r["width"] and r["dec_height"] == r["height"]
+        else:
+            assert r["dec_sample_rate"] == r["sample_rate"]
+            # generator truncates: n_samples = int(sr * dur_ms / 1000)
+            assert r["dec_n_samples"] == int(r["sample_rate"] * r["duration_ms"] / 1000)
 
 
 def test_extract_features_real_decode(spark):

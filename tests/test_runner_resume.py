@@ -43,6 +43,32 @@ def test_metrics_and_lineage(spark, tmp_path):
         assert s["lineage"]["seconds"] > 0
 
 
+def test_shuffle_bytes_recorded_per_iteration(spark):
+    """The comm/compute split (reference's MPI harness prints per-run
+    Alltoallv shares): each iteration's metrics carry the shuffle
+    read/write byte delta, and an iteration that actually shuffles
+    records nonzero bytes."""
+    init = spark.range(2000).select((F.col("id") % 50).alias("k"), F.lit(0).alias("it"))
+
+    def step(state, it):
+        # a genuine exchange every iteration: groupBy forces a shuffle
+        return (
+            state.groupBy("k").agg(F.max("it").alias("it"))
+            .select("k", (F.col("it") + 1).alias("it"))
+            .join(spark.range(2000).select((F.col("id") % 50).alias("k")), "k")
+        )
+
+    def converged(state, it):
+        return (0 if it >= 2 else 1), {}
+
+    runner = FixpointRunner(spark, "shuf")
+    runner.run(init, step, converged)
+    assert runner.num_iterations == 3
+    for m in runner.metrics:
+        assert "shuffle_read_bytes" in m.extra and "shuffle_write_bytes" in m.extra
+        assert m.extra["shuffle_write_bytes"] > 0
+
+
 def test_resume_from_snapshot(spark, tmp_path):
     init, step, conv = make_countdown(spark, 6)
     # first run: stop early by capping iterations under convergence
