@@ -472,8 +472,18 @@ def cc_label_propagation(
 
     ``frontier=True`` sends messages only from vertices whose label
     changed last round (the reference's queue-based delta iteration,
-    /root/reference/src/cc_sequential.c:131-161). ``prune_every=k``
-    rewrites the live edge set every k rounds: edges whose endpoints
+    /root/reference/src/cc_sequential.c:131-161).
+
+    ``prune_every`` is DEPRECATED (round 3): measured in its own
+    hypothesized payoff regime (dense hub blocks resolving in ~2 rounds
+    + a long-path tail driving 24-32 further rounds,
+    scripts/prune_regime_bench.py), pruning is at best cost-neutral per
+    tail iteration and strictly pays its early O(|E|) relabel-join jobs
+    for nothing — per-iteration cost on this substrate is dominated by
+    the vertex-state exchange, which pruning cannot shrink, not by the
+    edge-table probe the frontier semi-join already bounds. Kept only
+    for API compatibility, correctness-tested; default off.
+    ``prune_every=k`` rewrites the live edge set every k rounds: edges whose endpoints
     share a (transient) label are dropped and replaced by shortcut edges
     from each dropped endpoint to its current label vertex — the
     giant-component exclusion (/root/reference/src/cc_openmp.c:596-613)
@@ -506,8 +516,7 @@ def cc_label_propagation(
     # rationale (ghost-exchange + post-exchange aggregation)
     n_part = spark.sparkContext.defaultParallelism
     e0 = edges_sym.select("src", "dst").repartition(n_part, "src").persist()
-    e0.count()
-    live_edges = {"df": e0}
+    live_edges = {"df": e0, "count": e0.count(), "prune_on": bool(prune_every)}
     # Frontier invariant: every live edge must have carried its source's
     # CURRENT label at least once. Edges added by a prune rewrite violate
     # it when their source last changed BEFORE the prune (it would never
@@ -563,7 +572,7 @@ def cc_label_propagation(
         changed = obs_holder.pop(it).get["changed"] or 0
         # the `changed` guard also guarantees at least one more iteration
         # runs after a rewrite, so the queued pending_senders always fire
-        if prune_every and changed and (it + 1) % prune_every == 0:
+        if live_edges["prune_on"] and changed and (it + 1) % prune_every == 0:
             lab = new_state.select("vertex", "label")
             # materialized once — keep/stars both read it (the double
             # label join would otherwise recompute per consumer)
@@ -573,14 +582,27 @@ def cc_label_propagation(
                 .join(lab.withColumnsRenamed({"vertex": "dst", "label": "_ld"}), "dst")
                 .localCheckpoint(eager=True)
             )
-            keep = tagged.filter(F.col("_ls") != F.col("_ld")).select("src", "dst")
+            # An edge already in shortcut form — it points at the label
+            # vertex itself (dst == l(src) or src == l(dst)) — is exactly
+            # what a rewrite would produce, so rewriting it again would
+            # only re-queue its source for a resend. Measured (round-3
+            # prune_regime_bench): without this, every prune re-rewrote
+            # the previous prune's shortcut stars and the mandatory
+            # resend re-shuffled the whole resolved region every cycle —
+            # 10x the per-iteration shuffle of no-prune. Keep them as-is.
+            already_shortcut = (F.col("dst") == F.col("_ls")) | (
+                F.col("src") == F.col("_ld")
+            )
+            keep = tagged.filter(
+                (F.col("_ls") != F.col("_ld")) | already_shortcut
+            ).select("src", "dst")
             # Shortcuts for dropped endpoints: (u, l(u)) both directions,
             # frozen at this round's labels. Keeps the rewritten graph's
             # components identical to the original (see docstring proof);
             # self-shortcuts (l(u)==u) are meaningless and filtered.
             # Single pass over the dropped set via inline explode.
             dropped_stars = (
-                tagged.filter(F.col("_ls") == F.col("_ld"))
+                tagged.filter((F.col("_ls") == F.col("_ld")) & ~already_shortcut)
                 .select(
                     F.explode(
                         F.array(
@@ -610,8 +632,14 @@ def cc_label_propagation(
             # growth at every rewrite boundary; the metrics count below
             # doubles as the materializing action.
             old_live = live_edges["df"]
+            # order matters: localCheckpoint FIRST (truncates the lineage
+            # and the multiplying join-size stats), THEN repartition +
+            # persist — a checkpointed RDD reports UnknownPartitioning,
+            # so persisting the checkpoint directly made every later
+            # message join re-exchange the whole edge table per iteration
+            # (measured: +2.6MB/iter shuffle on a 400k-edge remainder)
             live_edges["df"] = (
-                e.repartition(n_part, "src").localCheckpoint(eager=True).persist()
+                e.localCheckpoint(eager=True).repartition(n_part, "src").persist()
             )
             # frontier invariant repair: every rewritten edge's source
             # must send its current label once over the new edge set.
@@ -626,6 +654,14 @@ def cc_label_propagation(
             n_live = live_edges["df"].count()  # also fills the stats-resetting cache
             if old_live is not e0:
                 old_live.unpersist()
+            # Adaptive disable: a prune that barely shrinks the edge set
+            # signals the dense regions are done — the tail's occasional
+            # same-label edge can never repay an O(|E_live|) relabel join
+            # every k rounds (measured, scripts/prune_regime_bench.py:
+            # steady-state prune checks were the remaining 2x overhead).
+            if live_edges["count"] - n_live < 0.05 * live_edges["count"]:
+                live_edges["prune_on"] = False
+            live_edges["count"] = n_live
             return changed, {"live_edges": n_live}
         return changed, {}
 

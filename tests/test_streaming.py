@@ -148,3 +148,64 @@ def test_streaming_exact_dedup_parity(spark, tmp_path):
     n_distinct = docs.select(fingerprint_col("text").alias("f")).distinct().count()
     assert got.count() == n_distinct
     assert got.select("fingerprint").distinct().count() == n_distinct
+
+
+def test_streaming_dedup_watermark_horizon(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's documented contract, both sides:
+    a duplicate inside the horizon is dropped, but once the watermark has
+    passed a fingerprint's state, a re-arrival IS emitted again — the
+    price of bounded state under unbounded ingest. Round-2 tests pinned
+    only the within-horizon half."""
+    import os
+    import time as _t
+
+    src_dir = str(tmp_path / "docs_wm")
+    os.makedirs(src_dir, exist_ok=True)
+    T0 = "2024-01-01 00:00:00"
+    T3H = "2024-01-01 03:00:00"
+    T3H01 = "2024-01-01 03:01:00"
+
+    def mk(rows, sub):
+        df = spark.createDataFrame(rows, "doc_id long, text string, ts string")
+        df = df.withColumn("ts", df.ts.cast("timestamp"))
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, sub))
+        return os.path.join(src_dir, sub)
+
+    from parallel_connected_components_spark.streaming import streaming_exact_dedup
+
+    # two sequential availableNow runs over ONE checkpoint pin the batch
+    # boundary deterministically (dedup state persists across restarts)
+    out_dir = str(tmp_path / "dedup_wm_out")
+
+    def run_once():
+        stream = streaming_exact_dedup(
+            spark, f"{src_dir}/*", schema_from=f1,
+            watermark_col="ts", watermark="1 hour",
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["text"], r["doc_id"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    # batch 1: "expire me" at T0; "keep once" at T0+3h (also advances the
+    # watermark to T0+2h at batch end, expiring "expire me"'s state)
+    f1 = mk([(1, "expire me", T0), (2, "keep once", T3H)], "f1")
+    got1 = run_once()
+    assert got1 == {("expire me", 1), ("keep once", 2)}
+    # batch 2: "expire me" again (beyond horizon → re-emitted) and
+    # "keep once" again (within horizon → dropped)
+    mk([(3, "expire me", T3H01), (4, "keep once", T3H01)], "f2")
+    _t.sleep(0.1)
+    got = run_once()
+    texts = sorted(t for t, _ in got)
+    assert texts == ["expire me", "expire me", "keep once"], got
+    assert {d for t, d in got if t == "keep once"} == {2}  # dup doc 4 dropped
