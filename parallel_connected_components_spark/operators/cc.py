@@ -46,7 +46,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..plans.runner import FixpointRunner, IterationMetrics
-from .graph import canonicalize, vertices_of
+from .graph import canonicalize, pin_edges, vertices_of
 
 
 # --------------------------------------------------------------------------
@@ -514,8 +514,7 @@ def cc_label_propagation(
     # edges partitioned on src once; per-iteration shuffle moves only the
     # (shrinking) frontier labels — see pagerank() for the plan-shape
     # rationale (ghost-exchange + post-exchange aggregation)
-    n_part = spark.sparkContext.defaultParallelism
-    e0 = edges_sym.select("src", "dst").repartition(n_part, "src").persist()
+    e0, n_part = pin_edges(spark, edges_sym)  # (already materialized)
     live_edges = {"df": e0, "count": e0.count(), "prune_on": bool(prune_every)}
     # Frontier invariant: every live edge must have carried its source's
     # CURRENT label at least once. Edges added by a prune rewrite violate

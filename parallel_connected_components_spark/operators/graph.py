@@ -92,6 +92,20 @@ def vertices_of(edges: DataFrame) -> DataFrame:
     )
 
 
+def pin_edges(spark, edges: DataFrame, key: str = "src") -> tuple[DataFrame, int]:
+    """Partition the static edge table on its message-join key ONCE and
+    pin it in memory — every iterative operator's opening move (the
+    ghost-exchange precondition; plan rationale in pagerank()). Eagerly
+    materialized so iteration 0 doesn't pay the exchange and so the
+    in-loop joins see real cached stats instead of estimates (the
+    in-loop-broadcast guard, PLANS.md §7). → (pinned edges, n_part);
+    caller owns the unpersist."""
+    n_part = spark.sparkContext.defaultParallelism
+    e = edges.select("src", "dst").repartition(n_part, key).persist()
+    e.count()
+    return e, n_part
+
+
 def degrees(edges_sym: DataFrame) -> DataFrame:
     """Per-vertex degree over a symmetrized deduped edge table
     (graph.c:222-253's per-vertex scan as one partial+final agg)."""

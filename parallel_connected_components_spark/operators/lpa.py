@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..plans.runner import FixpointRunner
-from .graph import vertices_of
+from .graph import pin_edges, vertices_of
 
 
 def label_propagation_communities(
@@ -47,9 +47,7 @@ def label_propagation_communities(
     )
     # see pagerank() for the plan-shape rationale (src-partitioned edges,
     # post-exchange aggregation)
-    n_part = spark.sparkContext.defaultParallelism
-    e = edges_sym.select("src", "dst").repartition(n_part, "src").persist()
-    e.count()
+    e, n_part = pin_edges(spark, edges_sym)
     obs_holder: dict[int, Observation] = {}
 
     def step(state: DataFrame, it: int) -> DataFrame:

@@ -28,7 +28,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..plans.runner import FixpointRunner
-from .graph import vertices_of
+from .graph import pin_edges, vertices_of
 
 
 def pagerank(
@@ -60,9 +60,7 @@ def pagerank(
     e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
     verts = vertices_of(e).localCheckpoint(eager=True)
     n = verts.count()
-    n_part = spark.sparkContext.defaultParallelism
-    e = e.repartition(n_part, "src").persist()
-    e.count()
+    e, n_part = pin_edges(spark, e)
     outdeg = e.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("outdeg"))
     # vertex table with outdeg (0 for dangling), reused every iteration
     vo = (
@@ -191,8 +189,7 @@ def pagerank_fixed(
     e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
     verts = vertices_of(e).localCheckpoint(eager=True)
     n = verts.count()
-    n_part = spark.sparkContext.defaultParallelism
-    e = e.repartition(n_part, "src").persist()
+    e, n_part = pin_edges(spark, e)
     outdeg = e.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("outdeg"))
     vo = (
         verts.select(F.col("id").alias("vertex"))
