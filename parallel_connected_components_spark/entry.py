@@ -71,8 +71,9 @@ MEDIA_ORACLE_SEED = 7
 
 def _media_oracle_path() -> str:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # v2: gen_media emits PNG payloads for every other image row
     return os.path.join(
-        repo, ".data", f"media_oracle_n{MEDIA_ORACLE_N}_s{MEDIA_ORACLE_SEED}"
+        repo, ".data", f"media_oracle_v2_n{MEDIA_ORACLE_N}_s{MEDIA_ORACLE_SEED}"
     )
 
 
@@ -673,16 +674,24 @@ def build_queries():
             ).parquet(path)
         return decode_media(spark.read.parquet(path))
 
+    # Image dims: PPM rows re-parsed straight from the payload blob (P6
+    # header regexp over DuckDB's escaped-VARCHAR form); PNG rows checked
+    # against the generator's independent width/height metadata columns
+    # (the IHDR dims are big-endian raw bytes — not regexp-able — but a
+    # broken decode_png still mismatches the metadata).
     _hdr = r"'^P6\\x0A(\d+) (\d+)\\x0A255\\x0A'"
+    _is_ppm = "payload::VARCHAR LIKE 'P6%'"
     q(
         "media_decode",
         _media_decode,
         f"""SELECT media_id, kind, octet_length(payload)::INT AS n_bytes,
-               CASE WHEN kind = 'image'
+               CASE WHEN kind = 'image' AND {_is_ppm}
                     THEN regexp_extract(payload::VARCHAR, {_hdr}, 1)::INT
+                    WHEN kind = 'image' THEN width
                END AS dec_width,
-               CASE WHEN kind = 'image'
+               CASE WHEN kind = 'image' AND {_is_ppm}
                     THEN regexp_extract(payload::VARCHAR, {_hdr}, 2)::INT
+                    WHEN kind = 'image' THEN height
                END AS dec_height,
                CASE WHEN kind = 'audio' THEN sample_rate END AS dec_sample_rate,
                CASE WHEN kind = 'audio'

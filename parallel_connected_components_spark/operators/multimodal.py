@@ -3,11 +3,12 @@ metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` stages.
 
 Decode is REAL for container-decodable formats — no external libraries
-needed: PPM (P6) images parse with numpy, PCM WAV audio with the stdlib
-``wave`` module. Compressed formats (JPEG/PNG/MP3/MP4) would need codecs
-absent from this container, so those payloads fall back to a
-clearly-marked deterministic fake (or raise under ``strict=True`` — the
-integration gate where PIL/librosa/ffmpeg would plug in). The Spark-side
+needed: PPM (P6) images parse with numpy, PNG with stdlib ``zlib``
+(full inflate + the five scanline unfilters), PCM WAV audio with stdlib
+``wave``. Formats needing codecs absent from this container (JPEG, MP3,
+MP4) fall back to a clearly-marked deterministic fake (or raise under
+``strict=True`` — the integration gate where PIL/librosa/ffmpeg would
+plug in). The Spark-side
 contract is identical either way: schema, partitioning, UDF signatures,
 batch shapes, and every feature component normalized into [0, 1).
 
@@ -69,6 +70,124 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported maxval {maxval}")
     data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=idx)
     return data.reshape(h, w, 3)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → PNG bytes (8-bit RGB, filter 0, one IDAT).
+    Pure stdlib: struct + zlib — no codec libraries."""
+    import struct
+    import zlib
+
+    h, w = arr.shape[:2]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    raw = b"".join(
+        b"\x00" + np.ascontiguousarray(arr[y], dtype=np.uint8).tobytes()
+        for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8. Pure stdlib (zlib inflate) + the five
+    scanline unfilters (None/Sub/Up/Average/Paeth) per the PNG spec.
+    Supports 8-bit gray (0), RGB (2), gray+alpha (4) and RGBA (6),
+    non-interlaced; alpha is dropped and gray broadcast to 3 channels."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0 or ctype not in (0, 2, 4, 6):
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} ctype={ctype} interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(idat)
+    stride = width * nch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.intp)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.intp)
+        if f == 0:
+            recon = line
+        elif f == 2:  # Up — vectorizable
+            recon = (line + prior) & 0xFF
+        else:  # Sub/Average/Paeth need the in-progress scanline
+            recon = line.copy()
+            for i in range(stride):
+                a = recon[i - nch] if i >= nch else 0
+                b = prior[i]
+                c = prior[i - nch] if i >= nch else 0
+                if f == 1:
+                    recon[i] = (recon[i] + a) & 0xFF
+                elif f == 3:
+                    recon[i] = (recon[i] + (a + b) // 2) & 0xFF
+                elif f == 4:
+                    recon[i] = (recon[i] + _paeth(int(a), int(b), int(c))) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+        prior = recon
+        out[y] = recon.astype(np.uint8)
+    px = out.reshape(height, width, nch)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGB / RGBA→drop alpha
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch on the container magic: PPM (P6) or PNG → (h, w, 3)."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    return decode_ppm(payload)
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -166,15 +285,15 @@ def _fake_decode_features(payload: bytes, kind: str) -> list[float]:
 def decode_features(payload: bytes, kind: str, strict: bool = False) -> list[float]:
     """Dispatch on the payload magic: real decode where the format is
     container-decodable, fake (or raise, strict) otherwise."""
-    if payload[:2] == b"P6":
-        return image_features(decode_ppm(payload))
+    if payload[:2] == b"P6" or payload[:8] == _PNG_SIG:
+        return image_features(decode_image(payload))
     if payload[:4] == b"RIFF":
         return audio_features(*decode_wav(payload))
     if strict:
         raise NotImplementedError(
             f"no in-container decoder for this payload (kind={kind}); "
-            "JPEG/PNG/MP3/MP4 need image/audio libraries absent here — "
-            "wire one into decode_features"
+            "JPEG/MP3/MP4 need image/audio libraries absent here — "
+            "wire one into decode_features (PPM/PNG/WAV decode natively)"
         )
     return _fake_decode_features(payload, kind)
 
@@ -204,7 +323,10 @@ def gen_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                     r = ((xx * (1 + m % 7)) % 256).astype(np.uint8)
                     g = ((yy * (2 + m % 5)) % 256).astype(np.uint8)
                     b = ((xx + yy + m) % 256).astype(np.uint8)
-                    payload = encode_ppm(np.stack([r, g, b], axis=-1))
+                    px = np.stack([r, g, b], axis=-1)
+                    # alternate container formats: half PPM, half PNG —
+                    # both real-decodable end-to-end
+                    payload = encode_png(px) if mid % 6 == 0 else encode_ppm(px)
                     rows.append((mid, k, payload, w, h, None, None))
                 elif k == "audio":
                     sr = 16000
@@ -282,7 +404,7 @@ def decode_media(media: DataFrame) -> DataFrame:
             for mid, k, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 b = bytes(p)
                 if k == "image":
-                    arr = decode_ppm(b)
+                    arr = decode_image(b)
                     rows.append(
                         (mid, k, len(b), int(arr.shape[1]), int(arr.shape[0]), None, None)
                     )
@@ -335,12 +457,14 @@ def resize_ppm(media: DataFrame, max_side: int = 256) -> DataFrame:
             for mid, p, tw, th in zip(
                 pdf["media_id"], pdf["payload"], pdf["target_width"], pdf["target_height"]
             ):
-                arr = decode_ppm(bytes(p))
+                b = bytes(p)
+                arr = decode_image(b)
                 h, w = arr.shape[:2]
                 ys = (np.arange(th) * h / th).astype(int)
                 xs = (np.arange(tw) * w / tw).astype(int)
                 resized = arr[ys][:, xs]
-                out.append((mid, encode_ppm(resized), int(tw), int(th)))
+                enc = encode_png if b[:8] == _PNG_SIG else encode_ppm
+                out.append((mid, enc(resized), int(tw), int(th)))
             yield pd.DataFrame(out, columns=["media_id", "payload", "width", "height"])
 
     return planned.mapInPandas(

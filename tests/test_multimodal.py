@@ -33,6 +33,90 @@ def test_ppm_roundtrip():
     assert np.array_equal(decode_ppm(with_comment), arr)
 
 
+def test_png_roundtrip():
+    from parallel_connected_components_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    arr = (np.arange(9 * 7 * 3, dtype=np.int64) * 37 % 256).astype(np.uint8).reshape(9, 7, 3)
+    assert np.array_equal(decode_png(encode_png(arr)), arr)
+
+
+def test_png_all_filters_and_color_types():
+    """Decode scanlines written with every PNG filter type (1=Sub 2=Up
+    3=Average 4=Paeth — our encoder only emits 0, so these are
+    hand-filtered per the spec) and the gray/alpha color types."""
+    import struct
+    import zlib
+
+    from parallel_connected_components_spark.operators.multimodal import (
+        _paeth,
+        decode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(5, 6, 3)).astype(np.uint8)
+    h, w = arr.shape[:2]
+    bpp = 3
+
+    def filt(y, ftype):
+        line = arr[y].reshape(-1).astype(int)
+        prior = arr[y - 1].reshape(-1).astype(int) if y > 0 else np.zeros_like(line)
+        out = []
+        for i, x in enumerate(line):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ftype == 1:
+                out.append((x - a) % 256)
+            elif ftype == 2:
+                out.append((x - b) % 256)
+            elif ftype == 3:
+                out.append((x - (a + b) // 2) % 256)
+            else:
+                out.append((x - _paeth(a, b, c)) % 256)
+        return bytes([ftype]) + bytes(out)
+
+    raw = b"".join(filt(y, 1 + y % 4) for y in range(h))
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), arr)
+
+    # grayscale (ctype 0) broadcasts to 3 channels
+    g = rng.randint(0, 256, size=(4, 5)).astype(np.uint8)
+    raw_g = b"".join(b"\x00" + g[y].tobytes() for y in range(4))
+    png_g = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw_g))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png_g), np.repeat(g[:, :, None], 3, axis=2))
+
+    # RGBA (ctype 6) drops alpha
+    rgba = rng.randint(0, 256, size=(3, 4, 4)).astype(np.uint8)
+    raw_a = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    png_a = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw_a))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png_a), rgba[:, :, :3])
+
+
 def test_wav_roundtrip():
     samples = (np.sin(np.linspace(0, 20, 800)) * 12000).astype("<i2")
     back, sr = decode_wav(encode_wav(samples, 16000))
@@ -108,8 +192,10 @@ def test_extract_features_real_decode(spark):
     # images: the luminance-mean feature must match a local numpy decode
     img = media.filter("kind = 'image'").limit(3).collect()
     got = {r["media_id"]: r["feature"] for r in rows}
+    from parallel_connected_components_spark.operators.multimodal import decode_image
+
     for r in img:
-        expect = image_features(decode_ppm(bytes(r["payload"])))
+        expect = image_features(decode_image(bytes(r["payload"])))
         assert got[r["media_id"]] == pytest.approx(expect)
     # audio: same for the rms feature vector
     aud = media.filter("kind = 'audio'").limit(3).collect()
@@ -141,10 +227,16 @@ def test_resize_plan_and_real_resample(spark):
         assert r["target_width"] >= 1 and r["target_height"] >= 1
     resized = resize_ppm(media, max_side=16).collect()
     assert len(resized) == len(planned)
+    from parallel_connected_components_spark.operators.multimodal import decode_image
+
+    formats = set()
     for r in resized:
-        arr = decode_ppm(bytes(r["payload"]))
+        b = bytes(r["payload"])
+        formats.add("png" if b[:4] == b"\x89PNG" else "ppm")
+        arr = decode_image(b)
         assert arr.shape == (r["height"], r["width"], 3)
         assert max(r["width"], r["height"]) <= 17
+    assert formats == {"ppm", "png"}  # container preserved through resize
 
 
 def test_frame_sampling(spark):
