@@ -23,6 +23,7 @@ unbounded logical-plan growth across iterations. Handled two ways:
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Callable
@@ -109,8 +110,14 @@ class FixpointRunner:
         max_iterations: int = 200,
         record_partition_lineage: bool = True,
         raise_on_cap: bool = True,
-        record_shuffle_bytes: bool = True,
+        record_shuffle_bytes: bool | None = None,
     ):
+        if record_shuffle_bytes is None:
+            # env kill-switch: lets a fresh-JVM A/B quantify the metric's
+            # own overhead (measured ~0 — see BENCH/BASELINE.md)
+            record_shuffle_bytes = (
+                os.environ.get("SPARK_GRAFT_SHUFFLE_METRICS", "1") != "0"
+            )
         self.spark = spark
         self.name = name
         self.tables = TableLayer(spark, checkpoint_dir) if checkpoint_dir else None
