@@ -181,6 +181,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    sample_target: int = 16384,
 ) -> list[list[float]]:
     """Seeded Lloyd's k-means over an array column, pure DataFrame ops —
     no MLlib, no Python UDF:
@@ -195,11 +196,26 @@ def kmeans_fit(
 
     Scale: each iteration is one scan + one k·dim-row aggregate; the
     centroids travel as literals (k·dim doubles in the plan), fine for
-    the k ≤ a few hundred that IVF coarse quantizers use.
+    the k ≤ a few hundred that IVF coarse quantizers use. Above
+    ``sample_target`` rows the fit runs on a deterministic
+    ``xxhash64``-keyed sample of ~that size (a coarse quantizer needs
+    cluster SHAPE, not every point — the standard IVF training practice),
+    so Lloyd's cost is bounded regardless of corpus size; the full-data
+    pass happens once, in :func:`ivf_assign`. ``sample_target=0``
+    disables sampling.
     """
     v = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).localCheckpoint(eager=True)
+    )
+    if sample_target and sample_target > 0:
+        n_total = v.count()
+        if n_total > sample_target:
+            denom = max(2, n_total // sample_target)
+            v = v.where(
+                F.pmod(F.xxhash64("_id", F.lit(seed), F.lit("kmeans-sample")), denom)
+                == 0
+            )
+    v = v.localCheckpoint(eager=True)
     init_rows = (
         v.orderBy(F.xxhash64("_id", F.lit(seed)), F.col("_id")).limit(k).collect()
     )

@@ -1,0 +1,109 @@
+"""Executed-plan shape assertions for the iterative hot loop.
+
+These pin the SUBSTRATE behaviors the iteration plans rely on — the
+exact properties whose silent loss produced round-2/3's measured
+regressions (PLANS.md §3, §8):
+
+1. a `shuffle_hash`-hinted join-back must NOT be flipped to a
+   BroadcastHashJoin by AQE at runtime (an in-loop broadcast is a serial
+   driver hashed-relation build per iteration);
+2. `pin_edges` output must report a known hash partitioning so the
+   per-iteration message join moves only the state side (a
+   localCheckpoint-then-persist in the wrong order reports
+   UnknownPartitioning and silently re-exchanges the edge table — the
+   round-3 prune-path bug).
+
+AQE decides at RUNTIME, so plans are read AFTER an action, from the
+adaptive executed plan (`isFinalPlan=true` state), not from a static
+explain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parallel_connected_components_spark.operators.graph import pin_edges
+
+
+def executed_plan(df) -> str:
+    df.count()  # force execution so AQE finalizes its choices
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hinted_join_back_stays_shuffle_hash(spark):
+    """Mirror of the PageRank step's message join + join-back shape
+    (operators/pagerank.py:step): tiny post-aggregation output is
+    exactly the case where AQE wants to broadcast — the hint must win."""
+    edges, n_part = pin_edges(
+        spark, spark.range(20000).select((F.col("id") % 500).alias("src"),
+                                         ((F.col("id") * 7) % 500).alias("dst"))
+    )
+    state = spark.range(500).select(
+        F.col("id").alias("src"), (F.col("id") * 0.001).alias("w")
+    ).localCheckpoint(eager=True).hint("shuffle_hash")
+    contribs = (
+        edges.join(state, "src")
+        .select("dst", "w")
+        .repartition(n_part, "dst")
+        .groupBy(F.col("dst").alias("vertex"))
+        .agg(F.sum("w").alias("contrib"))
+        .hint("shuffle_hash")
+    )
+    verts = spark.range(500).select(F.col("id").alias("vertex")).localCheckpoint(
+        eager=True
+    )
+    joined = verts.join(contribs, "vertex", "left")
+    plan = executed_plan(joined)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    edges.unpersist()
+
+
+def test_pinned_edges_join_does_not_reexchange_edges(spark):
+    """The message join over pin_edges must reuse the pinned partitioning:
+    exactly one Exchange on the state side, none over the cached edge
+    scan (count the Exchanges under the join)."""
+    edges, n_part = pin_edges(
+        spark, spark.range(20000).select((F.col("id") % 500).alias("src"),
+                                         ((F.col("id") * 3) % 500).alias("dst"))
+    )
+    senders = spark.range(100).select(
+        F.col("id").alias("src"), F.col("id").alias("label")
+    ).hint("shuffle_hash")
+    msgs = edges.join(senders, "src").select(F.col("dst").alias("vertex"), "label")
+    plan = executed_plan(msgs)
+    assert "InMemoryTableScan" in plan, plan
+    # the cached edge branch must not be re-exchanged: every Exchange in
+    # the executed join plan belongs to the (tiny) sender side
+    edge_branch = plan.split("InMemoryTableScan", 1)[1]
+    assert "Exchange" not in edge_branch.split("\n\n")[0].split("+- ==")[0], plan
+    edges.unpersist()
+
+
+def test_prune_rewrite_does_not_inflate_tail_shuffle(spark):
+    """Behavioral regression guard for the round-3 prune-path bug: after
+    an edge-set rewrite, tail iterations must NOT shuffle more bytes than
+    the equivalent un-pruned run's tail (the broken checkpoint/persist
+    order re-exchanged the whole rewritten edge table every remaining
+    iteration — tail bytes jumped ~3.4x on this shape)."""
+    from parallel_connected_components_spark.operators import (
+        cc_label_propagation,
+        symmetrize,
+    )
+
+    # dense blocks (resolve fast → prune fires) + a path tail (keeps
+    # iterating afterward)
+    i = F.col("id")
+    dense = spark.range(4000).select(i.alias("src"), (i - i % 40).alias("dst"))
+    path = spark.range(20).select((i + 100000).alias("src"), (i + 100001).alias("dst"))
+    edges = symmetrize(dense.union(path).filter("src != dst"))
+
+    def tail_bytes(prune):
+        _, runner = cc_label_propagation(spark, edges, prune_every=prune)
+        tail = [
+            m.extra.get("shuffle_write_bytes", 0) for m in runner.metrics[-5:]
+        ]
+        return sum(tail) / len(tail)
+
+    plain, pruned = tail_bytes(0), tail_bytes(2)
+    assert pruned <= plain * 2.0, (plain, pruned)

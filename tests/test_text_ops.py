@@ -304,6 +304,19 @@ def test_kmeans_fit_deterministic_and_separating(spark):
     # each blob lands wholly in one (distinct) cell
     assert len(by_blob[0]) == 1 and len(by_blob[1]) == 1
     assert by_blob[0] != by_blob[1]
+    # sample-bounded fit (round 3: Lloyd's cost is capped by a
+    # deterministic xxhash sample above sample_target): still
+    # deterministic, still separates the blobs
+    s1 = kmeans_fit(df, k=2, n_iterations=8, sample_target=30)
+    s2 = kmeans_fit(df, k=2, n_iterations=8, sample_target=30)
+    assert s1 == s2
+    a2 = ivf_assign(df, s1).select("vec_id", "cluster").collect()
+    blobs = {0: set(), 1: set()}
+    for r in a2:
+        blobs[0 if r["vec_id"] < 100 else 1].add(r["cluster"])
+    assert len(blobs[0]) == 1 and len(blobs[1]) == 1 and blobs[0] != blobs[1]
+    # sample_target=0 disables sampling → identical to the full fit
+    assert kmeans_fit(df, k=2, n_iterations=8, sample_target=0) == c1
 
 
 def test_knn_ivf_recall(spark, embeddings):
