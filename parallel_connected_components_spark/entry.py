@@ -44,6 +44,7 @@ from .functions.textstats import (
 from .operators.cc import (
     cc_afforest,
     cc_alternating_stars,
+    cc_auto,
     cc_label_propagation,
     cc_two_phase,
 )
@@ -337,10 +338,19 @@ def build_queries():
             spark, raw_edges(spark, sf), vertices=doc_vertices(spark, sf)
         )[0]
 
+    def _cc_auto(spark, sf):
+        # algorithm-selecting hybrid: on the low-diameter web graph this
+        # takes the pure-LP path; the stars hand-off path is differential-
+        # tested on high-diameter grids (tests/test_highdiam.py)
+        return cc_auto(
+            spark, symmetrize(raw_edges(spark, sf)), vertices=doc_vertices(spark, sf)
+        )[0]
+
     q("cc_labels", _cc_two_phase, cc_oracle)
     q("cc_labels_stars", _cc_stars, cc_oracle)
     q("cc_labels_labelprop", _cc_lp, cc_oracle)
     q("cc_labels_afforest", _cc_afforest, cc_oracle)
+    q("cc_labels_auto", _cc_auto, cc_oracle)
     q(
         "cc_component_sizes",
         lambda spark, sf: component_sizes(_cc_two_phase(spark, sf)),

@@ -12,6 +12,7 @@ from .graph import (  # noqa: F401
 from .cc import (  # noqa: F401
     cc_afforest,
     cc_alternating_stars,
+    cc_auto,
     cc_label_propagation,
     cc_two_phase,
     count_components,

@@ -465,6 +465,9 @@ def cc_label_propagation(
     max_iterations: int = 200,
     resume: bool = False,
     prune_every: int = 0,
+    stall_window: int = 0,
+    stall_ratio: float = 0.6,
+    stall_min_iterations: int = 5,
 ) -> tuple[DataFrame, FixpointRunner]:
     """Jacobi-style min-label propagation
     (label_propagation_sync_omp, /root/reference/src/cc_openmp.c:38-142;
@@ -483,6 +486,21 @@ def cc_label_propagation(
     the vertex-state exchange, which pruning cannot shrink, not by the
     edge-table probe the frontier semi-join already bounds. Kept only
     for API compatibility, correctness-tested; default off.
+    ``stall_window=w`` (w > 0) arms a high-diameter stall detector: LP is
+    O(diameter) rounds, which on web graphs (diameter ~ log V) converges
+    in a handful of rounds but on road-network-like graphs (diameter
+    O(sqrt V) — the reference's roadNet-CA/europe_osm validation set,
+    /root/reference/README.md:120-123) degenerates into thousands of
+    near-constant-size rounds. The signature of that regime is that the
+    changed-count stops decaying: on a web graph `changed` drops
+    geometrically (each round resolves a constant fraction), while on a
+    lattice the propagation is a wavefront of roughly constant size. When
+    ``changed(it) >= stall_ratio · changed(it - w)`` after at least
+    ``stall_min_iterations`` rounds, the loop exits early with
+    ``runner.stalled = True`` and mid-flight labels — :func:`cc_auto`
+    then finishes the job with O(log n) alternating stars on the
+    label-contracted graph. Default off (w=0): plain LP to convergence.
+
     ``prune_every=k`` rewrites the live edge set every k rounds: edges whose endpoints
     share a (transient) label are dropped and replaced by shortcut edges
     from each dropped endpoint to its current label vertex — the
@@ -511,6 +529,8 @@ def cc_label_propagation(
     runner = FixpointRunner(
         spark, "cc_lp", checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
     )
+    runner.stalled = False
+    changed_history: list[int] = []
     # edges partitioned on src once; per-iteration shuffle moves only the
     # (shrinking) frontier labels — see pagerank() for the plan-shape
     # rationale (ghost-exchange + post-exchange aggregation)
@@ -569,6 +589,15 @@ def cc_label_propagation(
 
     def converged(new_state: DataFrame, it: int):
         changed = obs_holder.pop(it).get["changed"] or 0
+        if stall_window > 0 and changed > 0:
+            changed_history.append(changed)
+            if (
+                it + 1 >= stall_min_iterations
+                and len(changed_history) > stall_window
+                and changed >= stall_ratio * changed_history[-stall_window - 1]
+            ):
+                runner.stalled = True
+                return 0, {"stalled": True, "changed_at_stall": changed}
         # the `changed` guard also guarantees at least one more iteration
         # runs after a rewrite, so the queued pending_senders always fire
         if live_edges["prune_on"] and changed and (it + 1) % prune_every == 0:
@@ -677,3 +706,97 @@ def cc_label_propagation(
     if live_edges["df"] is not e0:
         live_edges["df"].unpersist()
     return final.select("vertex", "label"), runner
+
+
+# --------------------------------------------------------------------------
+# 4. Auto-selecting hybrid: frontier LP with a high-diameter escape hatch
+# --------------------------------------------------------------------------
+
+def cc_auto(
+    spark: SparkSession,
+    edges_sym: DataFrame,
+    vertices: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+    max_iterations: int = 200,
+    stall_window: int = 3,
+    stall_ratio: float = 0.6,
+    stall_min_iterations: int = 5,
+) -> tuple[DataFrame, dict]:
+    """Algorithm-selecting CC: frontier label propagation until it either
+    converges (web-graph regime, diameter ~ log V — measured 2.4x faster
+    than stars there, BENCH/BASELINE.md) or the stall detector fires
+    (road-network regime, diameter O(sqrt V) — the reference's
+    roadNet-CA/europe_osm validation graphs,
+    /root/reference/README.md:120-123, where O(diameter) LP is a
+    scale-killer), in which case the mid-flight labels contract the graph
+    and O(log n) alternating stars finishes.
+
+    Correctness of the hand-off: at any LP round, ``l(v)`` is the id of a
+    vertex in v's component (labels only ever arrive over edges), so
+    contracting every edge (u, v) to (l(u), l(v)) preserves the component
+    structure exactly — components of the contracted graph are the images
+    of the original components. Stars then yields, per contracted
+    component, its minimum label value; since the true minimum vertex m
+    of an original component always has ``l(m) = m`` (labels are
+    min-monotone, nothing smaller exists to displace it), that minimum IS
+    the component's min vertex id, and composing
+    ``label(v) = stars_label(l(v))`` gives the exact min-id labeling —
+    identical to every other algorithm in this module (differential test:
+    tests/test_highdiam.py).
+
+    → (labels(vertex, label), info) where info carries the chosen path
+    (``algorithm``: "label_propagation" or "lp+stars"), both runners, and
+    per-phase iteration counts.
+    """
+    lp_labels, lp_runner = cc_label_propagation(
+        spark,
+        edges_sym,
+        vertices=vertices,
+        frontier=True,
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_iterations,
+        stall_window=stall_window,
+        stall_ratio=stall_ratio,
+        stall_min_iterations=stall_min_iterations,
+    )
+    info: dict = {
+        "algorithm": "label_propagation",
+        "lp_runner": lp_runner,
+        "stars_runner": None,
+        "lp_iterations": lp_runner.num_iterations,
+        "stars_iterations": 0,
+    }
+    if not getattr(lp_runner, "stalled", False):
+        return lp_labels, info
+
+    # High-diameter escape: contract by the mid-flight labels, finish with
+    # stars. The contracted edge table is built with the same two-sided
+    # label join the prune rewrite uses; stars canonicalizes (dedup +
+    # orient) internally.
+    lab = lp_labels.localCheckpoint(eager=True)
+    contracted = (
+        edges_sym.join(
+            lab.withColumnsRenamed({"vertex": "src", "label": "_ls"}), "src"
+        )
+        .join(lab.withColumnsRenamed({"vertex": "dst", "label": "_ld"}), "dst")
+        .select(F.col("_ls").alias("src"), F.col("_ld").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    stars_labels, stars_runner = cc_alternating_stars(
+        spark, contracted, max_iterations=max_iterations
+    )
+    # Compose: label(v) = stars_label(l(v)); labels whose component was
+    # already fully resolved by LP never reach the contracted graph —
+    # left join + coalesce keeps them as-is.
+    star_map = stars_labels.select(
+        F.col("vertex").alias("label"), F.col("label").alias("_sl")
+    )
+    final = lab.join(star_map, "label", "left").select(
+        "vertex", F.coalesce("_sl", F.col("label")).alias("label")
+    )
+    info.update(
+        algorithm="lp+stars",
+        stars_runner=stars_runner,
+        stars_iterations=stars_runner.num_iterations,
+    )
+    return final, info

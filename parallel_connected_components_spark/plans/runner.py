@@ -185,10 +185,16 @@ class FixpointRunner:
             if shuffle0 is not None:
                 shuffle1 = _shuffle_totals(self.spark)
                 if shuffle1 is not None:
+                    # Clamp: the status store is bounded (spark.ui.retained
+                    # Stages); if old stages are evicted on very long runs
+                    # the cumulative total can drop, which would make the
+                    # delta negative. session.py raises the retention so
+                    # this should not trigger, but the diagnostic must
+                    # never go negative regardless.
                     extra = dict(
                         extra,
-                        shuffle_read_bytes=shuffle1[0] - shuffle0[0],
-                        shuffle_write_bytes=shuffle1[1] - shuffle0[1],
+                        shuffle_read_bytes=max(0, shuffle1[0] - shuffle0[0]),
+                        shuffle_write_bytes=max(0, shuffle1[1] - shuffle0[1]),
                     )
                     shuffle0 = shuffle1
             m = IterationMetrics(it, changed, time.perf_counter() - t0, extra=extra)

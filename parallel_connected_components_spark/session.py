@@ -58,6 +58,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # The iteration runner reads cumulative shuffle bytes from the
+        # app-status store (plans/runner.py:_shuffle_totals); the default
+        # spark.ui.retainedStages=1000 evicts old stages on long runs,
+        # making the cumulative total non-monotone. Long iterative jobs
+        # here run thousands of stages; retain enough to keep the
+        # per-iteration deltas meaningful (the store is cheap: ~1KB/stage).
+        .config("spark.ui.retainedStages", "100000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     # Input-split sizing for the local sandbox: bench/test parquet is

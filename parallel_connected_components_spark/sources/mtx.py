@@ -68,11 +68,17 @@ def read_mtx(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     header = read_mtx_header(path)
     dims = F.array(*(F.lit(t) for t in header["dims_tokens"]))
 
+    # ANSI-mode gotcha: F.trim strips only 0x20, but MTX whitespace is any
+    # of space/tab (mtx_reader.c uses fscanf %d which skips all C
+    # whitespace). A tab-indented body line would otherwise tokenize with
+    # an empty first token → NULL src. Regex-trim both ends instead.
+    norm = F.regexp_replace(F.col("value"), r"^\s+|\s+$", "")
     body = (
         spark.read.text(path)
         .where(~F.col("value").startswith("%"))
-        .where(F.trim(F.col("value")) != "")
-        .select(F.split(F.trim(F.col("value")), _WS).alias("tok"))
+        .select(norm.alias("norm"))
+        .where(F.col("norm") != "")
+        .select(F.split(F.col("norm"), _WS).alias("tok"))
     )
     parsed = body.select(
         (F.col("tok")[0].cast(LongType()) - 1).alias("src"),
@@ -100,11 +106,40 @@ def read_mtx(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
 def write_mtx(edges_canonical: DataFrame, num_vertices: int, path: str) -> None:
     """Sink a canonical (src<dst, deduped) edge table as a symmetric MTX
     file — the reference generator's output format
-    (/root/reference/tools/generate_graph.c:69-81). Driver-side collect:
-    test/tool use only."""
-    rows = edges_canonical.select("src", "dst").collect()
-    with open(path, "w", encoding="utf-8") as f:
-        f.write("%%MatrixMarket matrix coordinate pattern symmetric\n")
-        f.write(f"{num_vertices} {num_vertices} {len(rows)}\n")
-        for r in rows:
-            f.write(f"{r['src'] + 1} {r['dst'] + 1}\n")
+    (/root/reference/tools/generate_graph.c:69-81).
+
+    Distributed: each body line is formatted as a JVM column expression and
+    written via ``spark.write.text`` (header prepended driver-side — two
+    constant lines). The body stream never touches the driver, so an
+    18M-edge export runs with flat driver memory; only the final
+    part-file concatenation is local I/O. The single output file is a
+    format constraint (MTX has a one-line header with the exact nnz), not
+    a scale ambition — at scale you'd sink parquet via TableLayer."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    nnz = edges_canonical.count()
+    tmp_dir = tempfile.mkdtemp(prefix="mtx_body_", dir=os.path.dirname(path) or ".")
+    body_dir = os.path.join(tmp_dir, "body")
+    (
+        edges_canonical.select(
+            F.concat(
+                (F.col("src") + 1).cast("string"),
+                F.lit(" "),
+                (F.col("dst") + 1).cast("string"),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(body_dir)
+    )
+    try:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("%%MatrixMarket matrix coordinate pattern symmetric\n")
+            f.write(f"{num_vertices} {num_vertices} {nnz}\n")
+            for part in sorted(glob.glob(os.path.join(body_dir, "part-*"))):
+                with open(part, "r", encoding="utf-8") as p:
+                    shutil.copyfileobj(p, f)
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)

@@ -38,7 +38,7 @@ def rowset(cols, rows):
     return sorted(tuple(normalize(r[i]) for i in order) for r in rows)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -46,6 +46,8 @@ def main(sf_dir: str) -> int:
         )
     spark = get_spark("check-entry")
     qs, oracles = E.queries(), E.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         t0 = time.perf_counter()
@@ -92,4 +94,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            only=sys.argv[2:] or None,
+        )
+    )
