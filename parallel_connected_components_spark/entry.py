@@ -72,9 +72,10 @@ MEDIA_ORACLE_SEED = 7
 
 def _media_oracle_path() -> str:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # v2: gen_media emits PNG payloads for every other image row
+    # v3: gen_media rotates image containers PNG/JPEG/PPM (JPEG decoded
+    # by the from-scratch baseline codec in operators/jpeg.py)
     return os.path.join(
-        repo, ".data", f"media_oracle_v2_n{MEDIA_ORACLE_N}_s{MEDIA_ORACLE_SEED}"
+        repo, ".data", f"media_oracle_v3_n{MEDIA_ORACLE_N}_s{MEDIA_ORACLE_SEED}"
     )
 
 
@@ -610,6 +611,67 @@ def build_queries():
         WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= 0.1""",
     )
 
+    # ---------------- dedup end-to-end: pairs -> clusters -> keep-one -------
+    # MinHash near-dup pairs form a similarity graph; CC gives the
+    # transitive closure; cluster_id = min doc id, which is also the kept
+    # representative. The oracle reproduces the banding semantics exactly
+    # (a pair collides iff some band's components are all equal — at
+    # oracle scale an all-pairs join with the band disjunction is
+    # affordable; the Spark side never materializes non-colliding pairs),
+    # then closes it with the recursive CTE used by cc_labels.
+    DUP_BANDS = 4  # of MINHASH_PERMS=8 -> 2 rows/band
+    DUP_THRESHOLD = 0.5
+    rows_per_band = MINHASH_PERMS // DUP_BANDS
+    band_disj = " OR ".join(
+        "("
+        + " AND ".join(
+            f"l.h{b * rows_per_band + r} = r.h{b * rows_per_band + r}"
+            for r in range(rows_per_band)
+        )
+        + ")"
+        for b in range(DUP_BANDS)
+    )
+    est_sql = (
+        "("
+        + " + ".join(f"(l.h{i} = r.h{i})::INT" for i in range(MINHASH_PERMS))
+        + f")::DOUBLE / {MINHASH_PERMS}"
+    )
+
+    def _dup_clusters(spark, sf):
+        from .operators.dedup import dedup_clusters
+
+        return dedup_clusters(
+            spark,
+            _docs(spark, sf),
+            num_perm=MINHASH_PERMS,
+            num_bands=DUP_BANDS,
+            threshold=DUP_THRESHOLD,
+        )
+
+    q(
+        "dup_clusters",
+        _dup_clusters,
+        f"""WITH RECURSIVE {SHINGLES_SQL},
+        sig AS (SELECT _id AS doc_id, {min_aggs_sql} FROM shv GROUP BY _id),
+        pairs AS (
+          SELECT l.doc_id AS a, r.doc_id AS b
+          FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+          WHERE ({band_disj}) AND {est_sql} >= {DUP_THRESHOLD}
+        ),
+        dsym AS (SELECT a AS src, b AS dst FROM pairs
+                 UNION SELECT b, a FROM pairs),
+        verts AS (SELECT doc_id AS v FROM documents),
+        reach(v, l) AS (
+          SELECT v, v FROM verts
+          UNION
+          SELECT s.dst, r.l FROM reach r JOIN dsym s ON s.src = r.v
+        ),
+        cc AS (SELECT v AS vertex, min(l) AS label FROM reach GROUP BY v)
+        SELECT vertex AS doc_id, label AS cluster_id,
+               (vertex = label) AS is_canonical
+        FROM cc""",
+    )
+
     # ---------------- similarity search -------------------------------------
     qids = ", ".join(str(x) for x in KNN_QUERY_IDS)
     q(
@@ -685,10 +747,12 @@ def build_queries():
         return decode_media(spark.read.parquet(path))
 
     # Image dims: PPM rows re-parsed straight from the payload blob (P6
-    # header regexp over DuckDB's escaped-VARCHAR form); PNG rows checked
-    # against the generator's independent width/height metadata columns
-    # (the IHDR dims are big-endian raw bytes — not regexp-able — but a
-    # broken decode_png still mismatches the metadata).
+    # header regexp over DuckDB's escaped-VARCHAR form); PNG and JPEG
+    # rows checked against the generator's independent width/height
+    # metadata columns (IHDR/SOF0 dims are big-endian raw bytes — not
+    # regexp-able — but a broken decode_png/decode_jpeg still mismatches
+    # the metadata: the JPEG decoder must crop the 8x8 block padding back
+    # to the true SOF0 dims to pass).
     _hdr = r"'^P6\\x0A(\d+) (\d+)\\x0A255\\x0A'"
     _is_ppm = "payload::VARCHAR LIKE 'P6%'"
     q(

@@ -38,3 +38,13 @@ from .similarity import (  # noqa: F401
     knn_ivf,
     knn_lsh,
 )
+from .dedup import (  # noqa: F401
+    dedup_clusters,
+    exact_dedup,
+    exact_duplicates,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signatures,
+)

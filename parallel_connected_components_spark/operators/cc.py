@@ -468,6 +468,7 @@ def cc_label_propagation(
     stall_window: int = 0,
     stall_ratio: float = 0.6,
     stall_min_iterations: int = 5,
+    raise_on_cap: bool = True,
 ) -> tuple[DataFrame, FixpointRunner]:
     """Jacobi-style min-label propagation
     (label_propagation_sync_omp, /root/reference/src/cc_openmp.c:38-142;
@@ -527,7 +528,11 @@ def cc_label_propagation(
         F.lit(True).alias("changed"),
     )
     runner = FixpointRunner(
-        spark, "cc_lp", checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
+        spark,
+        "cc_lp",
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_iterations,
+        raise_on_cap=raise_on_cap,
     )
     runner.stalled = False
     changed_history: list[int] = []

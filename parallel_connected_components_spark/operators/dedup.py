@@ -360,3 +360,52 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["a", "b"])
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end dedup: near-dup pairs -> clusters -> keep-one representative
+# --------------------------------------------------------------------------
+
+def dedup_clusters(
+    spark,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """The deliverable a training-data pipeline actually consumes: every
+    document assigned a duplicate-cluster id with a keep-one flag.
+
+    Composition: :func:`minhash_near_duplicates` pairs form a similarity
+    graph over doc ids; connected components (``cc_two_phase`` — the
+    similarity graph is tiny relative to the corpus, so the local-UF
+    contraction pass collapses most clusters in one round) give the
+    transitive closure; cluster_id = min doc id of the cluster, and the
+    minimum doc is the canonical representative. Documents with no
+    near-duplicate are their own singleton cluster (canonical by
+    definition), so the output has exactly one row per input document:
+    (id, cluster_id, is_canonical). Filtering ``is_canonical`` yields the
+    deduplicated corpus; grouping by ``cluster_id`` yields the dup groups.
+
+    Scale: pair generation is banded (never all-pairs), CC runs on the
+    pair graph only (|pairs| << |docs| in real crawls), and the final
+    labeling is one left join back to the corpus — three shuffles end to
+    end beyond the signature pass.
+    """
+    from .cc import cc_two_phase
+
+    pairs = minhash_near_duplicates(
+        docs, id_col, text_col, num_perm, num_bands, shingle_n, threshold, seed
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    vertices = docs.select(F.col(id_col).alias("id"))
+    labels, _ = cc_two_phase(spark, edges, vertices=vertices)
+    return labels.select(
+        F.col("vertex").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("vertex") == F.col("label")).alias("is_canonical"),
+    )

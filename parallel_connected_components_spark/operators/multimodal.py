@@ -4,11 +4,12 @@ Arrow-batched ``mapInPandas`` stages.
 
 Decode is REAL for container-decodable formats — no external libraries
 needed: PPM (P6) images parse with numpy, PNG with stdlib ``zlib``
-(full inflate + the five scanline unfilters), PCM WAV audio with stdlib
-``wave``. Formats needing codecs absent from this container (JPEG, MP3,
-MP4) fall back to a clearly-marked deterministic fake (or raise under
-``strict=True`` — the integration gate where PIL/librosa/ffmpeg would
-plug in). The Spark-side
+(full inflate + the five scanline unfilters), baseline JPEG with the
+from-scratch JFIF codec in :mod:`.jpeg` (Huffman + DCT, numpy only),
+PCM WAV audio with stdlib ``wave``. Formats needing codecs absent from
+this container (MP3, MP4) fall back to a clearly-marked deterministic
+fake (or raise under ``strict=True`` — the integration gate where
+librosa/ffmpeg would plug in). The Spark-side
 contract is identical either way: schema, partitioning, UDF signatures,
 batch shapes, and every feature component normalized into [0, 1).
 
@@ -184,9 +185,14 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch on the container magic: PPM (P6) or PNG → (h, w, 3)."""
+    """Dispatch on the container magic: PPM (P6), PNG or baseline JPEG
+    → (h, w, 3)."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xFF\xD8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     return decode_ppm(payload)
 
 
@@ -285,15 +291,19 @@ def _fake_decode_features(payload: bytes, kind: str) -> list[float]:
 def decode_features(payload: bytes, kind: str, strict: bool = False) -> list[float]:
     """Dispatch on the payload magic: real decode where the format is
     container-decodable, fake (or raise, strict) otherwise."""
-    if payload[:2] == b"P6" or payload[:8] == _PNG_SIG:
+    if (
+        payload[:2] == b"P6"
+        or payload[:8] == _PNG_SIG
+        or payload[:2] == b"\xFF\xD8"
+    ):
         return image_features(decode_image(payload))
     if payload[:4] == b"RIFF":
         return audio_features(*decode_wav(payload))
     if strict:
         raise NotImplementedError(
             f"no in-container decoder for this payload (kind={kind}); "
-            "JPEG/MP3/MP4 need image/audio libraries absent here — "
-            "wire one into decode_features (PPM/PNG/WAV decode natively)"
+            "MP3/MP4 need audio/video codec libraries absent here — wire "
+            "one into decode_features (PPM/PNG/JPEG/WAV decode natively)"
         )
     return _fake_decode_features(payload, kind)
 
@@ -324,9 +334,17 @@ def gen_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                     g = ((yy * (2 + m % 5)) % 256).astype(np.uint8)
                     b = ((xx + yy + m) % 256).astype(np.uint8)
                     px = np.stack([r, g, b], axis=-1)
-                    # alternate container formats: half PPM, half PNG —
-                    # both real-decodable end-to-end
-                    payload = encode_png(px) if mid % 6 == 0 else encode_ppm(px)
+                    # rotate container formats PNG/JPEG/PPM — all three
+                    # real-decodable end-to-end (JPEG via the baseline
+                    # JFIF codec in operators/jpeg.py)
+                    if mid % 9 == 0:
+                        payload = encode_png(px)
+                    elif mid % 9 == 6:
+                        from .jpeg import encode_jpeg
+
+                        payload = encode_jpeg(px, quality=90)
+                    else:
+                        payload = encode_ppm(px)
                     rows.append((mid, k, payload, w, h, None, None))
                 elif k == "audio":
                     sr = 16000
@@ -463,7 +481,12 @@ def resize_ppm(media: DataFrame, max_side: int = 256) -> DataFrame:
                 ys = (np.arange(th) * h / th).astype(int)
                 xs = (np.arange(tw) * w / tw).astype(int)
                 resized = arr[ys][:, xs]
-                enc = encode_png if b[:8] == _PNG_SIG else encode_ppm
+                if b[:8] == _PNG_SIG:
+                    enc = encode_png
+                elif b[:2] == b"\xFF\xD8":
+                    from .jpeg import encode_jpeg as enc
+                else:
+                    enc = encode_ppm
                 out.append((mid, enc(resized), int(tw), int(th)))
             yield pd.DataFrame(out, columns=["media_id", "payload", "width", "height"])
 

@@ -232,11 +232,16 @@ def test_resize_plan_and_real_resample(spark):
     formats = set()
     for r in resized:
         b = bytes(r["payload"])
-        formats.add("png" if b[:4] == b"\x89PNG" else "ppm")
+        if b[:4] == b"\x89PNG":
+            formats.add("png")
+        elif b[:2] == b"\xFF\xD8":
+            formats.add("jpeg")
+        else:
+            formats.add("ppm")
         arr = decode_image(b)
         assert arr.shape == (r["height"], r["width"], 3)
         assert max(r["width"], r["height"]) <= 17
-    assert formats == {"ppm", "png"}  # container preserved through resize
+    assert formats == {"ppm", "png", "jpeg"}  # container preserved through resize
 
 
 def test_frame_sampling(spark):

@@ -333,3 +333,39 @@ def test_knn_ivf_recall(spark, embeddings):
     full = knn_ivf(embeddings, qids, k=5, num_centroids=4, nprobe=4).collect()
     full_set = {(r["query_id"], r["neighbor_id"]) for r in full}
     assert full_set == exact_set
+
+
+def test_dedup_clusters_end_to_end(spark, docs):
+    # plant a 3-chain: doc, near-copy, near-copy-of-copy — transitive
+    # closure must put all three in one cluster with the original as the
+    # canonical representative, and untouched docs stay singletons
+    from parallel_connected_components_spark.operators.dedup import dedup_clusters
+
+    base = docs.limit(20).select("doc_id", "text")
+    c1 = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+    )
+    c2 = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword moretail")).alias("text"),
+    )
+    both = base.union(c1).union(c2)
+    out = dedup_clusters(spark, both, num_perm=32, num_bands=8, threshold=0.5)
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in out.collect()}
+    # one row per input doc
+    assert len(rows) == 60
+    full_chains = 0
+    for d in range(20):
+        cid, _ = rows[d]
+        if rows.get(d + 100000, (None,))[0] == cid and rows.get(d + 200000, (None,))[0] == cid:
+            # the whole chain collapsed onto one cluster whose keeper is a
+            # base doc (the corpus itself contains near-dup pairs, so the
+            # representative may be a different base doc with smaller id)
+            assert cid < 100000
+            assert not rows[d + 100000][1] and not rows[d + 200000][1]
+            full_chains += 1
+    assert full_chains >= 16  # high recall; LSH banding may miss a couple
+    # canonical flags are exactly the min-id-per-cluster docs
+    for d, (cid, canon) in rows.items():
+        assert canon == (d == cid)
