@@ -93,6 +93,59 @@ def _partition_histogram(df: DataFrame) -> list[int]:
     return [r["count"] for r in rows]
 
 
+def task_skew_report(
+    spark: SparkSession, min_tasks: int = 4, min_stage_ms: int = 500
+) -> list[dict]:
+    """Per-stage task-runtime skew from the app-status store:
+    [{stage_id, tasks, p50_ms, max_ms, ratio}] for completed stages with
+    ≥ ``min_tasks`` tasks and max task time ≥ ``min_stage_ms`` (tiny
+    stages are all scheduler noise). ``ratio = max/p50`` is the straggler
+    diagnostic the reference's pthread harness prints as per-thread work
+    imbalance (/root/reference/src/pthreads/afforest_simple.c:622-649);
+    here a hub key that defeats the partitioner shows up as one long task
+    on the exchange stage. Best-effort internal API: returns [] if
+    unavailable."""
+    try:
+        sc = spark.sparkContext
+        try:
+            sc._jsc.sc().listenerBus().waitUntilEmpty()
+        except Exception:  # noqa: BLE001
+            pass
+        jvm, gw = sc._jvm, sc._gateway
+        store = sc._jsc.sc().statusStore()
+        stages = store.stageList(
+            jvm.java.util.ArrayList(), False, False,
+            gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+        )
+        q = gw.new_array(jvm.double, 2)
+        q[0], q[1] = 0.5, 1.0
+        out = []
+        it = stages.iterator()
+        while it.hasNext():
+            s = it.next()
+            if s.numCompleteTasks() < min_tasks:
+                continue
+            summ = store.taskSummary(s.stageId(), s.attemptId(), q)
+            if not summ.isDefined():
+                continue
+            rt = summ.get().executorRunTime()
+            p50, mx = float(rt.apply(0)), float(rt.apply(1))
+            if mx < min_stage_ms:
+                continue
+            out.append(
+                {
+                    "stage_id": s.stageId(),
+                    "tasks": s.numCompleteTasks(),
+                    "p50_ms": p50,
+                    "max_ms": mx,
+                    "ratio": mx / max(p50, 1.0),
+                }
+            )
+        return sorted(out, key=lambda r: -r["ratio"])
+    except Exception:  # noqa: BLE001 — diagnostics must never fail the job
+        return []
+
+
 class FixpointRunner:
     """Drive ``state = step(state)`` to convergence.
 

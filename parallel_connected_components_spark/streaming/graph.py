@@ -1,0 +1,146 @@
+"""Streaming → graph bridge: incremental connected components over an
+unbounded edge stream (VERDICT r3 item 7).
+
+The reference is batch-only; its target data (continuous crawls) is not.
+This module maintains an exact CC labeling as edge batches arrive,
+recomputing only the components an arriving batch touches:
+
+- CC is merge-only (edges are never deleted), so an arriving edge (u, v)
+  carries exactly one bit of information: "u's component and v's
+  component are the same". The per-batch update therefore runs on the
+  CONTRACTED label graph — batch endpoints mapped through the current
+  labels — whose size is O(|batch| + touched components), never on the
+  accumulated edge set. This is the union-find "union by minimum"
+  (/root/reference/src/cc_sequential.c:325-331) lifted to a streaming
+  fixpoint: label state is the forest, each batch a union() burst.
+- Merges are commutative and idempotent, so ANY batching of the same
+  edge multiset converges to the same labels — which is what makes the
+  stream == batch parity test exact, and what makes the operator safe
+  under Structured Streaming's replay-on-failure semantics (a replayed
+  batch re-asserts unions that already hold: no-op).
+- State is the labels table itself, persisted as versioned parquet
+  snapshots (one per foreachBatch invocation, monotonically numbered —
+  the same snapshot+lineage shape as plans' TableLayer); the min-vertex-
+  id label invariant is preserved by induction: merging components
+  labeled by their min ids and relabeling to the min of the merged set
+  yields the min id of the union.
+
+At 100 TB scale the same foreachBatch plan runs against a Kafka edge
+feed; the per-batch work is one left join against the state table (hash
+on vertex), a CC on the tiny contracted graph, and one relabel join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_STATE_SCHEMA = "vertex long, label long"
+
+
+def _versions(state_dir: str) -> list[int]:
+    if not os.path.isdir(state_dir):
+        return []
+    out = []
+    for name in os.listdir(state_dir):
+        if name.startswith("v") and name[1:].isdigit() and os.path.exists(
+            os.path.join(state_dir, name, "_SUCCESS")
+        ):
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def cc_state_labels(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current labels(vertex, label) — the latest committed snapshot, or
+    an empty table before the first batch."""
+    vs = _versions(state_dir)
+    if not vs:
+        return spark.createDataFrame([], _STATE_SCHEMA)
+    return spark.read.parquet(os.path.join(state_dir, f"v{vs[-1]}"))
+
+
+def update_cc_state(
+    spark: SparkSession, batch_edges: DataFrame, state_dir: str
+) -> None:
+    """Fold one edge batch into the persistent labeling (exact)."""
+    from ..operators.cc import cc_two_phase
+
+    edges = (
+        batch_edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    labels = cc_state_labels(spark, state_dir)
+    # current label of every batch endpoint; unseen vertices are their own
+    # singleton component (label = vertex)
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst")))
+        .distinct()
+    )
+    cur = (
+        verts.join(labels, "vertex", "left")
+        .select("vertex", F.coalesce("label", F.col("vertex")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    # contracted merge graph over labels — the only thing CC must run on
+    merge_edges = (
+        edges.join(cur.withColumnsRenamed({"vertex": "src", "label": "_ls"}), "src")
+        .join(cur.withColumnsRenamed({"vertex": "dst", "label": "_ld"}), "dst")
+        .select(F.col("_ls").alias("src"), F.col("_ld").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    vs = _versions(state_dir)
+    next_v = (vs[-1] + 1) if vs else 0
+    out_path = os.path.join(state_dir, f"v{next_v}")
+
+    if merge_edges.isEmpty():
+        # nothing merges: state grows by the new singleton/batch-local rows
+        new_state = labels.unionByName(
+            cur.join(labels.select("vertex"), "vertex", "left_anti")
+        )
+        new_state.write.mode("overwrite").parquet(out_path)
+        return
+
+    mlabels, _ = cc_two_phase(spark, merge_edges)
+    remap = mlabels.select(
+        F.col("vertex").alias("label"), F.col("label").alias("_new")
+    )
+    # full state = (old rows ∪ newly seen vertices) relabeled through the
+    # merge result; labels outside the touched components pass through
+    full = labels.unionByName(
+        cur.join(labels.select("vertex"), "vertex", "left_anti")
+    )
+    new_state = full.join(remap, "label", "left").select(
+        "vertex", F.coalesce("_new", F.col("label")).alias("label")
+    )
+    new_state.write.mode("overwrite").parquet(out_path)
+
+
+def incremental_cc_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema_from: str,
+    state_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Drain all currently-available edge files (availableNow trigger)
+    through foreachBatch into the persistent labeling. Restartable: the
+    stream checkpoint tracks consumed files, the labels state tracks the
+    unions — a re-run after new files arrive folds only the new edges."""
+    schema = spark.read.parquet(schema_from).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: update_cc_state(
+                batch_df.sparkSession, batch_df, state_dir
+            )
+        )
+        .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

@@ -122,3 +122,120 @@ def test_pagerank_resume_matches_uninterrupted(spark, tmp_path):
     assert set(f) == set(g)
     for v in f:
         assert g[v] == _pytest.approx(f[v], abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg backend (VERDICT r3 item 6): the sandbox has no
+# iceberg-spark-runtime jar, so the branch executes against a fake engine
+# behind TableLayer's three seams (_sql / _write_iceberg / _read_iceberg).
+# The fake stores real parquet per commit, so save/load/resume run END TO
+# END through the iceberg code path; the recorded statements pin the
+# exact DDL/read calls a real cluster would receive.
+# ---------------------------------------------------------------------------
+
+class _FakeIcebergLayer(TableLayer):
+    """TableLayer with the iceberg seams backed by an in-memory snapshot
+    log + real parquet files (one dir per commit)."""
+
+    def __init__(self, spark, tmp, **kw):
+        super().__init__(spark, str(tmp), backend="iceberg", **kw)
+        self._store: dict[str, list[dict]] = {}
+        self._files = str(tmp)
+        self.sql_log: list[str] = []
+        self._next_id = 9000
+
+    def _sql(self, stmt):
+        self.sql_log.append(stmt)
+        if stmt.startswith("CREATE NAMESPACE"):
+            return None
+        if stmt.startswith("DROP TABLE"):
+            name = stmt.split(".")[-1]
+            self._store.pop(name, None)
+            return None
+        if ".snapshots" in stmt:  # SELECT over the metadata table
+            name = stmt.split(" FROM ")[1].split(".snapshots")[0].split(".")[-1]
+
+            class _Res:
+                def __init__(self, rows):
+                    self._rows = rows
+
+                def collect(self):
+                    return self._rows
+
+            return _Res(self._store.get(name, []))
+        raise AssertionError(f"unexpected SQL through the iceberg seam: {stmt}")
+
+    def _write_iceberg(self, df, ident, props):
+        assert ident.startswith(f"{self.catalog}.{self.namespace}."), ident
+        name = ident.split(".")[-1]
+        import os
+        import time as _t
+
+        snap_id = self._next_id
+        self._next_id += 1
+        path = os.path.join(self._files, f"iceberg_{name}_{snap_id}")
+        df.write.mode("overwrite").parquet(path)
+        # iceberg records writeTo option snapshot-property.K as summary[K]
+        self._store.setdefault(name, []).append(
+            {
+                "snapshot_id": snap_id,
+                "committed_at": _t.time(),
+                "summary": dict(props),
+                "_path": path,
+            }
+        )
+
+    def _read_iceberg(self, ident, snapshot_id):
+        name = ident.split(".")[-1]
+        snaps = self._store[name]
+        entry = snaps[-1] if snapshot_id is None else next(
+            s for s in snaps if s["snapshot_id"] == snapshot_id
+        )
+        return self.spark.read.parquet(entry["_path"])
+
+
+def test_iceberg_branch_snapshot_semantics(spark, tmp_path):
+    tl = _FakeIcebergLayer(spark, tmp_path)
+    df0 = spark.range(3).selectExpr("id AS n")
+    df1 = spark.range(5).selectExpr("id AS n")
+    assert tl.latest_snapshot("t") == -1
+    assert tl.save_snapshot("t", df0, lineage={"iteration": 0}) == 0
+    assert tl.save_snapshot("t", df1, lineage={"iteration": 1}) == 1
+    assert tl.latest_snapshot("t") == 1
+    # time travel by ordinal maps to the right snapshot_id
+    assert tl.load("t", snap=0).count() == 3
+    assert tl.load("t").count() == 5
+    # lineage rides the commit summary and roundtrips through JSON
+    assert [s["lineage"]["iteration"] for s in tl.snapshots("t")] == [0, 1]
+    # the DDL a real cluster would receive
+    assert any(
+        s.startswith("CREATE NAMESPACE IF NOT EXISTS spark_catalog.pccs")
+        for s in tl.sql_log
+    )
+    assert any(
+        "FROM spark_catalog.pccs.t.snapshots ORDER BY committed_at" in s
+        for s in tl.sql_log
+    )
+    tl.drop("t")
+    assert tl.sql_log[-1] == "DROP TABLE IF EXISTS spark_catalog.pccs.t"
+    assert tl.latest_snapshot("t") == -1
+
+
+def test_iceberg_branch_runner_resume(spark, tmp_path):
+    """The full FixpointRunner resume cycle over the iceberg branch: cap a
+    run mid-way, resume from the iceberg snapshot, converge — mirror of
+    test_resume_from_snapshot on the other backend."""
+    init, step, conv = make_countdown(spark, 6)
+    shared = _FakeIcebergLayer(spark, tmp_path)
+    r1 = FixpointRunner(
+        spark, "cnt", checkpoint_dir=str(tmp_path), snapshot_every=2,
+        max_iterations=3, raise_on_cap=False,
+    )
+    r1.tables = shared
+    mid = r1.run(init, step, conv)
+    assert mid.collect()[0]["n"] == 3
+    r2 = FixpointRunner(spark, "cnt", checkpoint_dir=str(tmp_path), snapshot_every=2)
+    r2.tables = shared
+    final = r2.run(init, step, conv, resume=True)
+    assert final.collect()[0]["n"] == 0
+    assert [m.iteration for m in r2.metrics] == [2, 3, 4, 5]

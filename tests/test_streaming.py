@@ -209,3 +209,74 @@ def test_streaming_dedup_watermark_horizon(spark, tmp_path):
     texts = sorted(t for t, _ in got)
     assert texts == ["expire me", "expire me", "keep once"], got
     assert {d for t, d in got if t == "keep once"} == {2}  # dup doc 4 dropped
+
+
+def test_incremental_cc_stream_equals_batch(spark, tmp_path):
+    """foreachBatch incremental CC: edge batches arriving as files fold
+    into a persistent labeling that equals batch CC over the union — and
+    a restarted stream with late-arriving files resumes from the
+    checkpoint and converges to the same exact labels."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parallel_connected_components_spark.operators.cc import (
+        union_find_oracle,
+    )
+    from parallel_connected_components_spark.sources.grids import gen_grid_edges
+    from parallel_connected_components_spark.sources.pages import gen_pages
+    from parallel_connected_components_spark.operators.graph import edges_from_pages
+    from parallel_connected_components_spark.streaming.graph import (
+        cc_state_labels,
+        incremental_cc_stream,
+    )
+
+    # edge feed: a web-ish graph + a grid, split into 3 arrival files so
+    # components merge ACROSS batches (the interesting case)
+    pages = gen_pages(spark, 240, num_components=6)
+    e1 = edges_from_pages(pages, keep_dangling=False).where("src < dst")
+    e2 = gen_grid_edges(spark, 8, 6, num_grids=2).select(
+        (F.col("src") + 10000).alias("src"), (F.col("dst") + 10000).alias("dst")
+    )
+    all_edges = e1.unionByName(e2).collect()
+    rows = [(r["src"], r["dst"]) for r in all_edges]
+    src_dir = str(tmp_path / "edge_feed")
+    os.makedirs(src_dir, exist_ok=True)
+    state_dir = str(tmp_path / "cc_state")
+    third = len(rows) // 3
+
+    def write_file(name, chunk):
+        spark.createDataFrame(chunk, "src long, dst long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src_dir, "_stage"))
+        # atomic-ish arrival: move the part file in under a new name
+        import glob
+        import shutil
+
+        part = glob.glob(os.path.join(src_dir, "_stage", "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src_dir, name))
+        shutil.rmtree(os.path.join(src_dir, "_stage"))
+
+    # interleave so cross-batch merges are guaranteed: every third edge
+    chunks = [rows[0::3], rows[1::3]]
+    late = rows[2::3]
+    write_file("f0.parquet", chunks[0])
+    write_file("f1.parquet", chunks[1])
+    schema_from = os.path.join(src_dir, "f0.parquet")
+    incremental_cc_stream(spark, src_dir, schema_from, state_dir)
+
+    # late arrival + restart: the checkpoint must skip f0/f1
+    write_file("f2.parquet", late)
+    incremental_cc_stream(spark, src_dir, schema_from, state_dir)
+
+    got = {
+        r["vertex"]: r["label"] for r in cc_state_labels(spark, state_dir).collect()
+    }
+    uf = union_find_oracle(rows)
+    assert got == {v: uf.get(v, v) for v in got}
+    assert set(got) == {v for uv in rows for v in uv}
+    # versioned snapshots: one per non-empty micro-batch, monotone
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
+    )
+    assert versions == list(range(len(versions))) and len(versions) >= 2
