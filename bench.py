@@ -175,6 +175,24 @@ def main() -> None:
 
     run_cc_afforest()
 
+    # cc_auto (round 4): also outside the headline sum for the same
+    # double-counting reason — on this web-shaped graph it must take the
+    # pure-LP path (stall detector silent), so its cost is cc_labelprop
+    # plus the detector bookkeeping; the high-diameter regime where the
+    # hybrid pays off is measured separately in BENCH/BASELINE.md.
+    def run_cc_auto():
+        from parallel_connected_components_spark.operators import cc_auto
+
+        t0 = time.perf_counter()
+        labels, info = cc_auto(spark, edges_sym)
+        ncomp = count_components(labels)
+        extra["cc_auto_sec"] = round(time.perf_counter() - t0, 3)
+        extra["cc_auto_path"] = info["algorithm"]
+        assert ncomp == expected_components, f"cc_auto wrong: {ncomp}"
+        assert info["algorithm"] == "label_propagation", info["algorithm"]
+
+    run_cc_auto()
+
     # -- PageRank to 1e-6 ------------------------------------------------------
     def run_pr():
         ranks, runner = pagerank(spark, edges_canon, tol=1e-6, max_iterations=60)
@@ -206,6 +224,15 @@ def main() -> None:
         lambda: minhash_near_duplicates(docs, num_perm=32, num_bands=8, threshold=0.5).count(),
     )
     timed("knn_top5", lambda: knn_bruteforce(emb, list(range(10)), k=5).count())
+    # end-to-end dedup deliverable (round 4): pairs → CC → keep-one
+    from parallel_connected_components_spark.operators.dedup import dedup_clusters
+
+    timed(
+        "dup_clusters",
+        lambda: dedup_clusters(
+            spark, docs, num_perm=32, num_bands=8, threshold=0.7
+        ).count(),
+    )
 
     # -- a few oracle queries for continuity with the correctness gate --------
     queries, _ = build_queries()
@@ -227,9 +254,11 @@ def main() -> None:
         "reps_per_query": reps,
         "timing_method": "median of reps (lower median if even); spread=[min,max]",
         # suite composition by round, so cross-round totals are comparable:
-        # r2 added revenue_by_nation (+~0.9s); r3 changed no membership.
-        "suite_r1": sorted(set(timings) - {"revenue_by_nation"}),
+        # r2 added revenue_by_nation (+~0.9s); r3 changed no membership;
+        # r4 added dup_clusters (pairs→CC→keep-one end-to-end).
+        "suite_r1": sorted(set(timings) - {"revenue_by_nation", "dup_clusters"}),
         "suite_added_r2": ["revenue_by_nation"],
+        "suite_added_r4": ["dup_clusters"],
         "sf": sf,
         "cores": cores,
         "n_pages": n_pages,

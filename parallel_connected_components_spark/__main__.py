@@ -73,9 +73,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cores", type=int, default=None)
     p.add_argument(
         "--algorithm",
-        choices=["two_phase", "stars", "labelprop", "afforest"],
-        default="two_phase",
-        help="CC variant (the reference's algorithm flag, main.c:60-163)",
+        choices=["auto", "two_phase", "stars", "labelprop", "afforest"],
+        default="auto",
+        help=(
+            "CC variant (the reference's algorithm flag, main.c:60-163). "
+            "auto (default) runs frontier labelprop — the fastest choice "
+            "on web-shaped/low-diameter graphs — with a stall detector "
+            "that hands high-diameter inputs (road networks) to O(log n) "
+            "alternating stars; see BENCH/BASELINE.md 'High-diameter'. "
+            "two_phase wins when vertex ids correlate with graph locality "
+            "(its per-partition union-find contraction needs id locality). "
+            "afforest is a faithful port kept for parity: measured SLOWER "
+            "than labelprop on every graph shape tried on this substrate "
+            "(BENCH/BASELINE.md skewed-graph shootout) — pick it only to "
+            "cross-check results, not for speed."
+        ),
     )
     args = p.parse_args(argv)
 
@@ -92,14 +104,29 @@ def main(argv: list[str] | None = None) -> int:
             out["pages"] = args.num_pages
         elif args.command == "cc":
             edges, verts = _load_edges(spark, args)
-            if args.resume and args.algorithm in ("two_phase", "afforest"):
-                # neither is a single resumable fixpoint (multi-phase
-                # pipelines); fail loudly instead of silently recomputing
+            if args.resume and args.algorithm in ("two_phase", "afforest", "auto"):
+                # none is a single resumable fixpoint (multi-phase or
+                # conditional pipelines); fail loudly instead of silently
+                # recomputing
                 raise SystemExit(
                     f"--resume is not supported for --algorithm {args.algorithm}; "
                     "use stars or labelprop"
                 )
-            if args.algorithm == "stars":
+            if args.algorithm == "auto":
+                from .operators import cc_auto
+
+                labels, info = cc_auto(
+                    spark, symmetrize(edges), vertices=verts,
+                    checkpoint_dir=args.checkpoint_dir,
+                    max_iterations=args.max_iterations,
+                )
+                runner = info["lp_runner"]
+                out["auto_path"] = info["algorithm"]
+                out["auto_iterations"] = {
+                    "labelprop": info["lp_iterations"],
+                    "stars": info["stars_iterations"],
+                }
+            elif args.algorithm == "stars":
                 from .operators import cc_alternating_stars
 
                 labels, runner = cc_alternating_stars(

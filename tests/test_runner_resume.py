@@ -239,3 +239,24 @@ def test_iceberg_branch_runner_resume(spark, tmp_path):
     final = r2.run(init, step, conv, resume=True)
     assert final.collect()[0]["n"] == 0
     assert [m.iteration for m in r2.metrics] == [2, 3, 4, 5]
+
+
+def test_task_skew_report_reads_executed_stages(spark):
+    from parallel_connected_components_spark.plans.runner import task_skew_report
+
+    # a real multi-task job so at least one stage qualifies
+    spark.range(0, 500_000, 1, 8).selectExpr("id % 97 AS k").groupBy(
+        "k"
+    ).count().count()
+    # min_stage_ms=1 keeps out zero-runtime stages whose max/p50 ratio is
+    # degenerate (0/1); everything that DID run must be internally sane
+    rows = task_skew_report(spark, min_tasks=2, min_stage_ms=1)
+    assert rows, "no stages visible through the app-status store"
+    for r in rows:
+        assert r["tasks"] >= 2
+        assert r["max_ms"] >= r["p50_ms"] >= 0
+        assert r["ratio"] > 0
+    # ordered most-skewed first
+    assert [r["ratio"] for r in rows] == sorted(
+        (r["ratio"] for r in rows), reverse=True
+    )
