@@ -72,10 +72,11 @@ MEDIA_ORACLE_SEED = 7
 
 def _media_oracle_path() -> str:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # v3: gen_media rotates image containers PNG/JPEG/PPM (JPEG decoded
-    # by the from-scratch baseline codec in operators/jpeg.py)
+    # v4: gen_media rotates image containers PNG/JPEG/PPM (JPEG decoded
+    # by the from-scratch baseline codec in operators/jpeg.py; JPEG rows
+    # alternate 4:4:4 and 4:2:0 subsampling)
     return os.path.join(
-        repo, ".data", f"media_oracle_v3_n{MEDIA_ORACLE_N}_s{MEDIA_ORACLE_SEED}"
+        repo, ".data", f"media_oracle_v4_n{MEDIA_ORACLE_N}_s{MEDIA_ORACLE_SEED}"
     )
 
 

@@ -208,71 +208,97 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 # Encoder
 # ---------------------------------------------------------------------------
 
-def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
-    """(h, w, 3) or (h, w) uint8 → baseline JFIF bytes (4:4:4, Annex-K
-    Huffman tables). Deterministic: same array + quality → same bytes."""
+def _plane_to_zz(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """Level-shifted plane (multiple-of-8 dims) → quantized zigzag blocks
+    as a (by, bx, 64) grid."""
+    ph, pw = plane.shape
+    blocks = plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,lk->abil", DCT_MAT, blocks, DCT_MAT)
+    qz = np.round(coef / qtab.reshape(8, 8).astype(np.float64)).astype(np.int32)
+    return qz.reshape(qz.shape[0], qz.shape[1], 64)[:, :, ZIGZAG]
+
+
+def _emit_block(bw, zz, dc_tbl, ac_tbl, pred, c):
+    diff = int(zz[0]) - pred[c]
+    pred[c] = int(zz[0])
+    s, bits_ = _magnitude(diff)
+    code, ln = dc_tbl[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(bits_, s)
+    run = 0
+    has_ac = bool(np.any(zz[1:]))
+    last_nz = int(np.max(np.nonzero(zz)[0])) if has_ac else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tbl[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s, bits_ = _magnitude(v)
+        code, ln = ac_tbl[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(bits_, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tbl[0x00]  # EOB
+        bw.write(code, ln)
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 75, subsampling: str = "444"
+) -> bytes:
+    """(h, w, 3) or (h, w) uint8 → baseline JFIF bytes (Annex-K Huffman
+    tables). ``subsampling``: "444" (no chroma subsampling) or "420"
+    (2x2-averaged chroma — what camera/crawl JPEGs overwhelmingly use;
+    also exercises the decoder's multi-block-MCU path). Deterministic:
+    same array + options → same bytes."""
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub = 2 if subsampling == "420" else 1
     qy = _scaled_quant(QUANT_LUMA, quality)
     qc = _scaled_quant(QUANT_CHROMA, quality)
     ycc = _rgb_to_ycbcr(arr)
-    # pad to 8x8 multiples by edge replication
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    # pad to full-MCU multiples (8 for 4:4:4, 16 for 4:2:0) by replication
+    mcu = 8 * sub
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
     ycc = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
 
     dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
                 _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
     ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
                 _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
-    quant = [qy, qc]
 
-    # quantized zigzag coefficients per component, all blocks at once
-    comps_zz = []
-    for c in range(3):
-        plane = ycc[:, :, c] - 128.0
-        blocks = plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
-        coef = np.einsum("ij,abjk,lk->abil", DCT_MAT, blocks, DCT_MAT)
-        t = 0 if c == 0 else 1
-        qtab = quant[t].reshape(8, 8).astype(np.float64)
-        qz = np.round(coef / qtab).astype(np.int32)
-        comps_zz.append(qz.reshape(-1, 64)[:, :].reshape(-1, 64)[:, ZIGZAG])
+    y_zz = _plane_to_zz(ycc[:, :, 0] - 128.0, qy)
+    chroma_zz = []
+    for c in (1, 2):
+        plane = ycc[:, :, c]
+        if sub == 2:  # 2x2 box average
+            plane = plane.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        chroma_zz.append(_plane_to_zz(plane - 128.0, qc))
 
     bw = _BitWriter()
     pred = [0, 0, 0]
-    n_blocks = comps_zz[0].shape[0]
-    for bi in range(n_blocks):  # interleaved MCU order == block order (4:4:4)
-        for c in range(3):
-            t = 0 if c == 0 else 1
-            zz = comps_zz[c][bi]
-            diff = int(zz[0]) - pred[c]
-            pred[c] = int(zz[0])
-            s, bits_ = _magnitude(diff)
-            code, ln = dc_codes[t][s]
-            bw.write(code, ln)
-            if s:
-                bw.write(bits_, s)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[t][0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                s, bits_ = _magnitude(v)
-                code, ln = ac_codes[t][(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(bits_, s)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[t][0x00]  # EOB
-                bw.write(code, ln)
+    mcus_y, mcus_x = ph // mcu, pw // mcu
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            # Y blocks of the MCU (sub×sub, row-major), then Cb, Cr
+            for by in range(sub):
+                for bx in range(sub):
+                    _emit_block(
+                        bw, y_zz[my * sub + by, mx * sub + bx],
+                        dc_codes[0], ac_codes[0], pred, 0,
+                    )
+            for ci, czz in enumerate(chroma_zz):
+                _emit_block(bw, czz[my, mx], dc_codes[1], ac_codes[1], pred, ci + 1)
     entropy = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -283,8 +309,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
     out += seg(0xFFDB, b"\x00" + qy.astype(np.uint8)[ZIGZAG].tobytes())
     out += seg(0xFFDB, b"\x01" + qc.astype(np.uint8)[ZIGZAG].tobytes())
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += struct.pack(">BBB", cid, 0x11, tq)  # 1x1 sampling
+    y_hv = (sub << 4) | sub  # 0x11 (4:4:4) or 0x22 (4:2:0)
+    for cid, hv, tq in ((1, y_hv, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        sof += struct.pack(">BBB", cid, hv, tq)
     out += seg(0xFFC0, sof)
     for tc_th, bits, vals in (
         (0x00, DC_LUMA_BITS, DC_LUMA_VALS),

@@ -342,7 +342,14 @@ def gen_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                     elif mid % 9 == 6:
                         from .jpeg import encode_jpeg
 
-                        payload = encode_jpeg(px, quality=90)
+                        # alternate 4:4:4 / 4:2:0 — crawl JPEGs are
+                        # overwhelmingly 4:2:0, so the oracle table
+                        # exercises the multi-block-MCU decode path too
+                        payload = encode_jpeg(
+                            px,
+                            quality=90,
+                            subsampling="420" if mid % 18 == 6 else "444",
+                        )
                     else:
                         payload = encode_ppm(px)
                     rows.append((mid, k, payload, w, h, None, None))

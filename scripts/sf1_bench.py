@@ -162,9 +162,14 @@ def ops(spark, paths):
             .count()
         )
 
+    from parallel_connected_components_spark.operators.dedup import dedup_clusters
+
     return {
         "minhash_near_dup": lambda: minhash_near_duplicates(
             docs, num_perm=32, num_bands=8, threshold=0.5
+        ).count(),
+        "dup_clusters": lambda: dedup_clusters(
+            spark, docs, num_perm=32, num_bands=8, threshold=0.5
         ).count(),
         "salted_topk": lambda: salted_topk_per_key(
             ev, "user_id", "value", k=3, tiebreak_col="event_id"
@@ -193,8 +198,8 @@ def main() -> None:
     print(json.dumps(result))
     print("\n| operator | 1x | 10x | ratio (10 = linear) |")
     print("|---|---|---|---|")
-    for name in ("minhash_near_dup", "salted_topk", "knn_bruteforce", "knn_ivf",
-                 "star_join_revenue"):
+    for name in ("minhash_near_dup", "dup_clusters", "salted_topk",
+                 "knn_bruteforce", "knn_ivf", "star_join_revenue"):
         a, b = result[f"{name}_x1"], result[f"{name}_x10"]
         print(f"| {name} | {a} s | {b} s | {b / max(a, 1e-9):.1f}x |")
     spark.stop()

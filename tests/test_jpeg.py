@@ -92,3 +92,64 @@ def test_decodes_with_nonstandard_tables_from_file():
     img = np.full((16, 16, 3), 200, dtype=np.uint8)
     dec = decode_jpeg(encode_jpeg(img, quality=30))
     assert np.abs(dec.astype(int) - 200).max() <= 6
+
+
+@pytest.mark.parametrize("h,w", [(16, 16), (37, 53), (3, 5), (17, 31)])
+def test_420_subsampling_roundtrip(h, w):
+    # 4:2:0 is what camera/crawl JPEGs actually use; this drives the
+    # decoder's 4-Y-blocks-per-MCU path and the chroma replication
+    # upsample, including the 16-multiple padding crop
+    img = gradient(h, w)
+    payload = encode_jpeg(img, quality=90, subsampling="420")
+    dec = decode_jpeg(payload)
+    assert dec.shape == (h, w, 3)
+    assert psnr(img, dec) > 30.0  # chroma halved: lossier than 4:4:4
+    # SOF0 carries 0x22 luma sampling (walk the marker segments — a
+    # naive byte search can hit FF C0 inside table payloads)
+    import struct
+
+    pos = 2
+    luma_hv = None
+    while pos < len(payload):
+        assert payload[pos] == 0xFF
+        marker = payload[pos + 1]
+        seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        if marker == 0xC0:
+            luma_hv = payload[pos + 4 + 7]  # prec(1) h(2) w(2) nc(1) cid(1) → hv
+            break
+        pos += 2 + seg_len
+    assert luma_hv == 0x22
+
+
+def test_444_beats_420_on_chroma_detail():
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = np.stack(
+        [(xx % 2) * 255, ((xx + 1) % 2) * 255, np.zeros_like(xx)], axis=-1
+    ).astype(np.uint8)  # 1-px chroma stripes: worst case for subsampling
+    p444 = psnr(img, decode_jpeg(encode_jpeg(img, 95)))
+    p420 = psnr(img, decode_jpeg(encode_jpeg(img, 95, subsampling="420")))
+    assert p444 > p420
+
+
+def test_fuzz_roundtrip_hypothesis():
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        seed=st.integers(0, 2**31),
+        q=st.sampled_from([25, 75, 95]),
+        ss=st.sampled_from(["444", "420"]),
+    )
+    def roundtrip(h, w, seed, q, ss):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, q, subsampling=ss))
+        assert dec.shape == (h, w, 3)
+        # noise is the hardest content; the decode must still be a
+        # plausible reconstruction, not garbage (empirically ≥ ~14 dB)
+        assert psnr(img, dec) > 10.0
+
+    roundtrip()
