@@ -46,7 +46,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..plans.runner import FixpointRunner, IterationMetrics
-from .graph import canonicalize, pin_edges, vertices_of
+from .graph import canonicalize, contract_edges, pin_edges, vertices_of
 
 
 # --------------------------------------------------------------------------
@@ -775,18 +775,10 @@ def cc_auto(
         return lp_labels, info
 
     # High-diameter escape: contract by the mid-flight labels, finish with
-    # stars. The contracted edge table is built with the same two-sided
-    # label join the prune rewrite uses; stars canonicalizes (dedup +
-    # orient) internally.
+    # stars (contract_edges is the shared contraction step; stars
+    # canonicalizes — dedup + orient — internally).
     lab = lp_labels.localCheckpoint(eager=True)
-    contracted = (
-        edges_sym.join(
-            lab.withColumnsRenamed({"vertex": "src", "label": "_ls"}), "src"
-        )
-        .join(lab.withColumnsRenamed({"vertex": "dst", "label": "_ld"}), "dst")
-        .select(F.col("_ls").alias("src"), F.col("_ld").alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-    )
+    contracted = contract_edges(edges_sym, lab)
     stars_labels, stars_runner = cc_alternating_stars(
         spark, contracted, max_iterations=max_iterations
     )

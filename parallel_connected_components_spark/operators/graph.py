@@ -83,6 +83,30 @@ def canonicalize(edges: DataFrame) -> DataFrame:
     )
 
 
+def contract_edges(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Map every edge (u, v) to (label(u), label(v)), dropping
+    now-internal edges — the graph-contraction step shared by cc_auto's
+    LP→stars hand-off, the streaming incremental-CC batch fold, and the
+    (deprecated) prune rewrite's keep/star split. ``labels`` is
+    (vertex, label); edges whose endpoints miss from it keep their own id
+    (vertex = its own label), matching the union-by-min convention.
+
+    Contraction preserves components exactly: l(u) is always a vertex of
+    u's component, so (l(u), l(v)) connects the same two components
+    (u, v) does."""
+    ls = labels.select(F.col("vertex").alias("src"), F.col("label").alias("_ls"))
+    ld = labels.select(F.col("vertex").alias("dst"), F.col("label").alias("_ld"))
+    return (
+        edges.join(ls, "src", "left")
+        .join(ld, "dst", "left")
+        .select(
+            F.coalesce("_ls", F.col("src")).alias("src"),
+            F.coalesce("_ld", F.col("dst")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+
+
 def vertices_of(edges: DataFrame) -> DataFrame:
     """Distinct vertex ids appearing in the edge table."""
     return (

@@ -180,10 +180,21 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad with 1s to the next byte boundary (F.1.2.3) — required
+        before emitting a restart marker."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1s per F.1.2.3
+            self.write((1 << pad) - 1, pad)
+
+    def raw_marker(self, marker: int) -> None:
+        """Append FF xx to the byte stream (NOT byte-stuffed — markers
+        are the one place a raw FF belongs)."""
+        assert self.nbits == 0, "align() before emitting a marker"
+        self.out += bytes((0xFF, marker))
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -249,13 +260,20 @@ def _emit_block(bw, zz, dc_tbl, ac_tbl, pred, c):
 
 
 def encode_jpeg(
-    arr: np.ndarray, quality: int = 75, subsampling: str = "444"
+    arr: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) or (h, w) uint8 → baseline JFIF bytes (Annex-K Huffman
     tables). ``subsampling``: "444" (no chroma subsampling) or "420"
     (2x2-averaged chroma — what camera/crawl JPEGs overwhelmingly use;
-    also exercises the decoder's multi-block-MCU path). Deterministic:
-    same array + options → same bytes."""
+    also exercises the decoder's multi-block-MCU path).
+    ``restart_interval=n`` emits a DRI segment and an RSTm marker every n
+    MCUs (DC predictors reset, stream byte-aligned) — camera JPEGs carry
+    these for error resilience, and the decoder's resync path is tested
+    against files produced here. Deterministic: same array + options →
+    same bytes."""
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
     h, w = arr.shape[:2]
@@ -288,8 +306,13 @@ def encode_jpeg(
     bw = _BitWriter()
     pred = [0, 0, 0]
     mcus_y, mcus_x = ph // mcu, pw // mcu
+    mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.align()
+                bw.raw_marker(0xD0 + ((mcu_count // restart_interval - 1) % 8))
+                pred = [0, 0, 0]
             # Y blocks of the MCU (sub×sub, row-major), then Cb, Cr
             for by in range(sub):
                 for bx in range(sub):
@@ -299,6 +322,7 @@ def encode_jpeg(
                     )
             for ci, czz in enumerate(chroma_zz):
                 _emit_block(bw, czz[my, mx], dc_codes[1], ac_codes[1], pred, ci + 1)
+            mcu_count += 1
     entropy = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -320,6 +344,8 @@ def encode_jpeg(
         (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
     ):
         out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = struct.pack(">B", 3)
     for cid, tables in ((1, 0x00), (2, 0x11), (3, 0x11)):
         sos += struct.pack(">BB", cid, tables)
@@ -426,8 +452,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             continue
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG: marker header cut short")
         seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
         body = payload[pos + 4:pos + 2 + seg_len]
+        if len(body) < seg_len - 2:
+            raise ValueError("truncated JPEG: segment body cut short")
         if marker == 0xDB:  # DQT — may hold several tables
             i = 0
             while i < len(body):
@@ -448,6 +478,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 htables[tc_th] = {(ln, code): sym for sym, (code, ln) in codes.items()}
                 i += 17 + nvals
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("truncated JPEG: SOF0 body cut short")
             precision, h, w, nc = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -461,6 +493,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline SOF marker 0xFF{marker:02X} unsupported")
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated JPEG: DRI body cut short")
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
@@ -495,12 +529,20 @@ def _decode_scan(data, pos, comps, qtables, htables, h, w, restart_interval):
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # realign at the RST marker between intervals
-                while reader.marker is None and reader.nbits >= 0:
-                    if reader.nbits == 0 and not reader._fill():
-                        break
-                    reader.nbits = 0  # discard pad bits
-                    break
+                # Byte-align (the 1-7 bits left in the accumulator are the
+                # encoder's pad) and consume the RST marker. The marker may
+                # already have been latched by a _fill() that ran into it,
+                # or still be unread at reader.pos — handle both. Round-4
+                # review caught the original version breaking out before
+                # consuming the marker whenever pad bits remained, which
+                # silently corrupted every MCU after the first restart
+                # interval (12.7 dB vs 48.5 dB on the repro file).
+                reader.acc = 0
+                reader.nbits = 0
+                if reader.marker is None:
+                    d, p = reader.data, reader.pos
+                    if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+                        reader.marker = d[p + 1]
                 if reader.marker is not None and 0xD0 <= reader.marker <= 0xD7:
                     reader.sync_rst()
                 for c in comps:

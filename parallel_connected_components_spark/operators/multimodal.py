@@ -291,14 +291,26 @@ def _fake_decode_features(payload: bytes, kind: str) -> list[float]:
 def decode_features(payload: bytes, kind: str, strict: bool = False) -> list[float]:
     """Dispatch on the payload magic: real decode where the format is
     container-decodable, fake (or raise, strict) otherwise."""
-    if (
+    is_image = (
         payload[:2] == b"P6"
         or payload[:8] == _PNG_SIG
         or payload[:2] == b"\xFF\xD8"
-    ):
-        return image_features(decode_image(payload))
-    if payload[:4] == b"RIFF":
-        return audio_features(*decode_wav(payload))
+    )
+    if is_image or payload[:4] == b"RIFF":
+        try:
+            if is_image:
+                return image_features(decode_image(payload))
+            return audio_features(*decode_wav(payload))
+        except Exception:
+            # A recognized magic whose body the codec can't handle — e.g.
+            # a progressive (SOF2) JPEG, extremely common in crawls, or a
+            # corrupt file. Non-strict mode must degrade to the
+            # deterministic fake, not fail the whole mapInPandas stage
+            # (round-4 review: the JPEG dispatch had silently removed
+            # this fallback). Strict mode propagates.
+            if strict:
+                raise
+            return _fake_decode_features(payload, kind)
     if strict:
         raise NotImplementedError(
             f"no in-container decoder for this payload (kind={kind}); "

@@ -67,10 +67,18 @@ def fetch_matrix(
         with tarfile.open(archive, "r:gz") as tf:
             dest_real = os.path.realpath(dest_dir)
             for member in tf.getmembers():
+                # plain-path pre-check (clear error message), PLUS the
+                # stdlib 'data' filter below — realpath alone is TOCTOU-
+                # defeatable by a symlink member followed by a write
+                # through it (round-4 review); the data filter rejects
+                # links, devices and absolute/parent paths at extract time
                 target = os.path.realpath(os.path.join(dest_dir, member.name))
                 if not (target == dest_real or target.startswith(dest_real + os.sep)):
                     raise ValueError(f"archive member escapes dest: {member.name}")
-            tf.extractall(dest_dir)
+            try:
+                tf.extractall(dest_dir, filter="data")
+            except tarfile.FilterError as exc:
+                raise ValueError(f"unsafe archive member: {exc}") from exc
     finally:
         os.unlink(archive)
     found = _find_mtx(dest_dir, stem)

@@ -166,6 +166,13 @@ class TableLayer:
                 raise FileNotFoundError(f"table {name} has no snapshot")
             if snap is None:
                 return self._read_iceberg(self._ident(name), None)  # latest
+            if not 0 <= snap < len(snaps):
+                # mirror the parquet branch's explicit failure; a negative
+                # ordinal must NOT silently alias Python's tail indexing
+                raise FileNotFoundError(
+                    f"table {name} has no snapshot {snap} "
+                    f"(have 0..{len(snaps) - 1})"
+                )
             return self._read_iceberg(
                 self._ident(name), snaps[snap]["snapshot_id"]
             )

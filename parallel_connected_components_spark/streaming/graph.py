@@ -85,11 +85,10 @@ def update_cc_state(
         .localCheckpoint(eager=True)
     )
     # contracted merge graph over labels — the only thing CC must run on
+    from ..operators.graph import contract_edges
+
     merge_edges = (
-        edges.join(cur.withColumnsRenamed({"vertex": "src", "label": "_ls"}), "src")
-        .join(cur.withColumnsRenamed({"vertex": "dst", "label": "_ld"}), "dst")
-        .select(F.col("_ls").alias("src"), F.col("_ld").alias("dst"))
-        .where(F.col("src") != F.col("dst"))
+        contract_edges(edges, cur)
         .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=True)
     )
@@ -143,4 +142,13 @@ def incremental_cc_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        # a silent partial drain would hand the caller an incomplete
+        # labeling AND leave the query holding the checkpoint; stop it
+        # and fail loudly (round-4 review)
+        q.stop()
+        raise TimeoutError(
+            f"incremental CC stream did not drain within {timeout_sec}s; "
+            "state is mid-fold — re-run to continue from the checkpoint"
+        )

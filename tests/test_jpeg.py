@@ -153,3 +153,40 @@ def test_fuzz_roundtrip_hypothesis():
         assert psnr(img, dec) > 10.0
 
     roundtrip()
+
+
+@pytest.mark.parametrize("ss", ["444", "420"])
+def test_restart_markers_roundtrip(ss):
+    # DRI/RSTn files are what cameras emit; the decoder must byte-align,
+    # consume the marker and reset DC predictors at every interval
+    # (round-4 review: the original resync silently corrupted every MCU
+    # after the first interval when pad bits remained)
+    img = gradient(48, 64)
+    plain = encode_jpeg(img, quality=90, subsampling=ss)
+    rst = encode_jpeg(img, quality=90, subsampling=ss, restart_interval=2)
+    assert b"\xFF\xDD" in rst and rst.count(b"\xFF\xD0") >= 1
+    p_plain = psnr(img, decode_jpeg(plain))
+    p_rst = psnr(img, decode_jpeg(rst))
+    # identical quantization: the two decodes must be equally good — THE
+    # regression check (the broken resync decoded rst files ~35 dB worse)
+    assert abs(p_plain - p_rst) < 0.5, (p_plain, p_rst)
+    # absolute floor is subsampling-dependent: this gradient has sharp
+    # 256-wraps, which 2x2 chroma averaging genuinely smears (~26 dB)
+    assert p_rst > (35.0 if ss == "444" else 20.0)
+
+
+def test_truncated_marker_header_raises_valueerror():
+    # contract: malformed input raises ValueError, never struct.error
+    for payload in (b"\xFF\xD8\xFF\xE0\x00", b"\xFF\xD8\xFF\xC0\x00\x08\x08"):
+        with pytest.raises(ValueError):
+            decode_jpeg(payload)
+
+
+def test_progressive_sof2_raises_valueerror():
+    img = gradient(16, 16)
+    payload = bytearray(encode_jpeg(img, 75))
+    # flip SOF0 -> SOF2 (progressive) in the marker stream
+    idx = payload.find(b"\xFF\xC0")
+    payload[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(payload))

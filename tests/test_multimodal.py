@@ -253,3 +253,26 @@ def test_frame_sampling(spark):
     for r in got:
         expected = (vids[r["media_id"]] - 1) // 50000 + 1
         assert r["n"] == expected
+
+
+def test_decode_features_nonstrict_falls_back_on_undecodable_jpeg():
+    # a progressive (SOF2) JPEG carries the JPEG magic but the baseline
+    # codec can't decode it: non-strict must degrade to the deterministic
+    # fake instead of failing the whole stage; strict must raise
+    import pytest as _pytest
+
+    from parallel_connected_components_spark.operators.jpeg import encode_jpeg
+    from parallel_connected_components_spark.operators.multimodal import (
+        _fake_decode_features,
+        decode_features,
+    )
+
+    yy = np.arange(16, dtype=np.uint8)
+    img = np.stack([np.tile(yy, (16, 1))] * 3, axis=-1)
+    payload = bytearray(encode_jpeg(img, 75))
+    payload[payload.find(b"\xFF\xC0") + 1] = 0xC2  # SOF0 -> SOF2
+    payload = bytes(payload)
+    got = decode_features(payload, "image", strict=False)
+    assert got == _fake_decode_features(payload, "image")
+    with _pytest.raises(Exception):
+        decode_features(payload, "image", strict=True)

@@ -260,3 +260,14 @@ def test_task_skew_report_reads_executed_stages(spark):
     assert [r["ratio"] for r in rows] == sorted(
         (r["ratio"] for r in rows), reverse=True
     )
+
+
+def test_iceberg_load_ordinal_bounds(spark, tmp_path):
+    tl = _FakeIcebergLayer(spark, tmp_path)
+    tl.save_snapshot("t", spark.range(3).selectExpr("id AS n"))
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        tl.load("t", snap=5)
+    with _pytest.raises(FileNotFoundError):
+        tl.load("t", snap=-1)  # must not alias Python tail indexing
