@@ -39,8 +39,22 @@ def pagerank(
     max_iterations: int = 100,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    init_ranks: DataFrame | None = None,
 ) -> tuple[DataFrame, FixpointRunner]:
     """→ (ranks(vertex long, rank double), runner). ``edges`` is directed.
+
+    ``init_ranks`` (vertex, rank) warm-starts the power iteration: the
+    fixpoint is unique (damped PageRank is a contraction), so any start
+    converges to the same ranks — but starting from a previous solution
+    after a small graph delta reaches tol in a fraction of the rounds
+    (measured in tests/test_streaming.py). Vertices absent from
+    ``init_ranks`` start at 1/n; the vector is renormalized to sum 1.
+    Caveat on MULTI-COMPONENT graphs: mass moves between components only
+    through teleportation, i.e. at the damping rate — a warm init whose
+    per-component mass is off converges SLOWER than cold (measured: 54
+    vs 16 rounds for a 5% delta). Rescale per-component mass to n_c/n
+    first (``streaming.graph._rescale_by_component``) — the incremental
+    fold does this automatically.
 
     Per-iteration plan shape (measured on an 18M-edge graph, see git
     history for the alternatives that lost):
@@ -70,7 +84,17 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
 
-    init = vo.select("vertex", "outdeg", F.lit(1.0 / n).alias("rank"))
+    if init_ranks is not None:
+        pr = init_ranks.select("vertex", F.col("rank").alias("_r0"))
+        seeded = vo.join(pr, "vertex", "left").select(
+            "vertex", "outdeg", F.coalesce("_r0", F.lit(1.0 / n)).alias("rank")
+        )
+        total = seeded.agg(F.sum("rank")).collect()[0][0] or 1.0
+        init = seeded.select(
+            "vertex", "outdeg", (F.col("rank") / F.lit(total)).alias("rank")
+        ).localCheckpoint(eager=True)
+    else:
+        init = vo.select("vertex", "outdeg", F.lit(1.0 / n).alias("rank"))
     # cap semantics match the numpy oracle: hitting max_iterations returns
     # the best-effort ranks at the cap (last l1_delta is in the metrics),
     # it does not raise — slow-converging graphs near the cap still answer

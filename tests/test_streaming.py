@@ -280,3 +280,47 @@ def test_incremental_cc_stream_equals_batch(spark, tmp_path):
         int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
     )
     assert versions == list(range(len(versions))) and len(versions) >= 2
+
+
+def test_incremental_pagerank_warm_start_parity_and_savings(spark, tmp_path):
+    """Warm-started incremental PageRank: ranks after folding batches ==
+    cold full-run ranks on the union (unique fixpoint), and the second
+    fold (small delta) converges in fewer iterations than a cold run."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parallel_connected_components_spark.operators import pagerank
+    from parallel_connected_components_spark.sources.pages import gen_pages
+    from parallel_connected_components_spark.operators.graph import edges_from_pages
+    from parallel_connected_components_spark.streaming.graph import (
+        pagerank_state_ranks,
+        update_pagerank_state,
+    )
+
+    pages = gen_pages(spark, 400, num_components=4)
+    all_edges = (
+        edges_from_pages(pages, keep_dangling=False)
+        .where("src != dst")
+        .dropDuplicates(["src", "dst"])
+        .collect()
+    )
+    rows = [(r["src"], r["dst"]) for r in all_edges]
+    # 95% in batch 1, 5% delta in batch 2
+    cut = int(len(rows) * 0.95)
+    state = str(tmp_path / "pr_state")
+    b1 = spark.createDataFrame(rows[:cut], "src long, dst long")
+    b2 = spark.createDataFrame(rows[cut:], "src long, dst long")
+    it1 = update_pagerank_state(spark, b1, state, tol=1e-6)
+    it2 = update_pagerank_state(spark, b2, state, tol=1e-6)
+
+    cold, cold_runner = pagerank(
+        spark, spark.createDataFrame(rows, "src long, dst long"), tol=1e-6
+    )
+    got = {r["vertex"]: r["rank"] for r in pagerank_state_ranks(spark, state).collect()}
+    want = {r["vertex"]: r["rank"] for r in cold.collect()}
+    assert set(got) == set(want)
+    for v, r in want.items():
+        assert abs(got[v] - r) < 5e-6, (v, got[v], r)
+    # the whole point: warm start after a 5% delta beats a cold run
+    assert it2 < cold_runner.num_iterations, (it2, cold_runner.num_iterations)
