@@ -272,3 +272,92 @@ def incremental_pagerank_stream(
         raise TimeoutError(
             f"incremental PageRank stream did not drain within {timeout_sec}s"
         )
+
+
+# ---------------------------------------------------------------------------
+# Incremental triangle counting: exact delta per batch, never a recount.
+# ΔT for a batch B against accumulated state S partitions the new
+# triangles by how many B edges they contain (1, 2 or 3 — each class
+# counted by its own join, so no triangle is double-counted):
+#   t1: one new edge  — (u,v)∈B closed by a wedge entirely in S;
+#   t2: two new edges — a wedge of two B edges (their shared vertex is
+#       unique per triangle) closed by an S edge;
+#   t3: three new edges — triangles wholly inside B (existing operator).
+# Work per batch is |B| joined against S's adjacency — proportional to
+# the delta and the touched neighborhoods, never |S|² — plus an append
+# to the canonical edge state. The running total is exact (parity test
+# against a from-scratch count on the union).
+# ---------------------------------------------------------------------------
+
+def update_triangle_state(
+    spark: SparkSession, batch_edges: DataFrame, state_dir: str
+) -> dict:
+    """Fold one edge batch. → {"delta": int, "total": int}."""
+    from ..operators.graph import canonicalize
+    from ..operators.triangles import triangle_count
+
+    os.makedirs(state_dir, exist_ok=True)
+    edges_dir = os.path.join(state_dir, "edges")
+    have_state = os.path.isdir(edges_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(edges_dir)
+    )
+    b_canon = canonicalize(batch_edges)
+    if have_state:
+        s = spark.read.parquet(edges_dir)
+        b = b_canon.join(s, ["src", "dst"], "left_anti").localCheckpoint(eager=True)
+        sym_s = s.unionByName(
+            s.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).localCheckpoint(eager=True)
+        # t1: B edge closed by an S-S wedge through any common neighbor x
+        t1 = (
+            b.join(sym_s.select(F.col("src").alias("src"), F.col("dst").alias("x")), "src")
+            .join(
+                sym_s.select(F.col("src").alias("dst"), F.col("dst").alias("x")),
+                ["dst", "x"],
+            )
+            .count()
+        )
+        # t2: wedge of two B edges (shared center vertex), endpoints a < c,
+        # closed by an S edge (a, c) — the center is unique per triangle
+        sym_b = b.unionByName(
+            b.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        wedges2 = (
+            sym_b.select(F.col("src").alias("center"), F.col("dst").alias("a"))
+            .join(
+                sym_b.select(F.col("src").alias("center"), F.col("dst").alias("c")),
+                "center",
+            )
+            .where(F.col("a") < F.col("c"))
+        )
+        t2 = wedges2.join(s, (wedges2.a == s.src) & (wedges2.c == s.dst), "left_semi").count()
+        # t3: triangles wholly inside the batch
+        t3 = triangle_count(spark, b)
+        delta = t1 + t2 + t3
+    else:
+        b = b_canon.localCheckpoint(eager=True)
+        delta = triangle_count(spark, b)
+    b.write.mode("append").parquet(edges_dir)
+
+    meta_path = os.path.join(state_dir, "total.json")
+    total = delta
+    if os.path.exists(meta_path):
+        import json as _json
+
+        total += _json.load(open(meta_path))["total"]
+    import json as _json
+
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        _json.dump({"total": total}, f)
+    os.replace(tmp, meta_path)
+    return {"delta": delta, "total": total}
+
+
+def triangle_state_total(state_dir: str) -> int:
+    import json as _json
+
+    meta_path = os.path.join(state_dir, "total.json")
+    if not os.path.exists(meta_path):
+        return 0
+    return _json.load(open(meta_path))["total"]

@@ -324,3 +324,45 @@ def test_incremental_pagerank_warm_start_parity_and_savings(spark, tmp_path):
         assert abs(got[v] - r) < 5e-6, (v, got[v], r)
     # the whole point: warm start after a 5% delta beats a cold run
     assert it2 < cold_runner.num_iterations, (it2, cold_runner.num_iterations)
+
+
+def test_incremental_triangles_match_batch(spark, tmp_path):
+    """Exact per-batch triangle deltas: folding interleaved batches gives
+    the same running total as a from-scratch count on the union — the
+    1/2/3-new-edge partition must cover every new triangle exactly once."""
+    from parallel_connected_components_spark.operators.triangles import triangle_count
+    from parallel_connected_components_spark.sources.pages import gen_pages
+    from parallel_connected_components_spark.operators.graph import edges_from_pages
+    from parallel_connected_components_spark.streaming.graph import (
+        triangle_state_total,
+        update_triangle_state,
+    )
+
+    pages = gen_pages(spark, 300, num_components=5)
+    rows = [
+        (r["src"], r["dst"])
+        for r in edges_from_pages(pages, keep_dangling=False).collect()
+    ]
+    state = str(tmp_path / "tri_state")
+    # interleaved thirds => plenty of cross-batch triangles (all classes)
+    chunks = [rows[0::3], rows[1::3], rows[2::3]]
+    running = 0
+    for i, chunk in enumerate(chunks):
+        out = update_triangle_state(
+            spark, spark.createDataFrame(chunk, "src long, dst long"), state
+        )
+        running += out["delta"]
+        assert out["total"] == running
+        expected = triangle_count(
+            spark,
+            spark.createDataFrame(
+                [e for c in chunks[: i + 1] for e in c], "src long, dst long"
+            ),
+        )
+        assert out["total"] == expected, (i, out, expected)
+    assert triangle_state_total(state) == running > 0
+    # replayed duplicate batch is a no-op (left-anti against state)
+    again = update_triangle_state(
+        spark, spark.createDataFrame(chunks[0], "src long, dst long"), state
+    )
+    assert again["delta"] == 0 and again["total"] == running
