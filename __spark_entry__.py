@@ -2,11 +2,13 @@
 
 Thin wrapper over parallel_connected_components_spark.entry — the engine's
 query registry. Each ``queries()`` entry is an implemented operator from
-SURVEY.md §2 (graph build, 3 CC algorithms sharing one recursive-CTE
-oracle, degree/component stats, triangles, PageRank, LPA) plus the
+SURVEY.md §2 (graph build, 5 CC algorithms — incl. the cc_auto
+high-diameter hybrid — sharing one recursive-CTE oracle,
+degree/component stats, triangles, PageRank, LPA) plus the
 training-data ops (token/quality/lang/fingerprint, exact + MinHash +
-SimHash + n-gram-Jaccard dedup, brute-force kNN, multimodal plumbing,
-events windows, TPC-H-style pricing summary).
+SimHash + n-gram-Jaccard dedup incl. end-to-end dup_clusters,
+brute-force kNN, real PPM/PNG/JPEG/WAV multimodal decode, events
+windows, TPC-H-style star joins). 44 queries, 44 exact DuckDB oracles.
 """
 
 from __future__ import annotations
