@@ -121,3 +121,51 @@ def test_cc_auto_matches_lp_full_run_on_grid(spark):
     plain, _ = cc_label_propagation(spark, edges)
     assert info["algorithm"] == "lp+stars"
     assert _labels_dict(hybrid) == _labels_dict(plain)
+
+
+def test_cc_auto_fuzz_random_graphs(spark):
+    """Property: cc_auto equals the union-find oracle on arbitrary random
+    graphs, whichever path the stall detector picks (aggressive settings
+    make BOTH paths fire across the examples)."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    paths_taken = set()
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        n=st.integers(8, 60),
+        m=st.integers(5, 120),
+        seed=st.integers(0, 2**31),
+    )
+    def check(n, m, seed):
+        import random
+
+        rng = random.Random(seed)
+        edge_set = {
+            (a, b)
+            for a, b in (
+                sorted((rng.randrange(n), rng.randrange(n))) for _ in range(m)
+            )
+            if a != b
+        }
+        rows = sorted(edge_set)
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, "src long, dst long")
+        labels, info = cc_auto(
+            spark,
+            symmetrize(df),
+            stall_window=2,
+            stall_min_iterations=2,
+        )
+        paths_taken.add(info["algorithm"])
+        uf = union_find_oracle(rows)
+        got = {r["vertex"]: r["label"] for r in labels.collect()}
+        assert got == {v: uf.get(v, v) for v in got}, (n, m, seed)
+
+    check()
+    # the fuzz must actually exercise at least the LP-converged path;
+    # (aggressive stall settings usually hit the hand-off too, but a
+    # specific hypothesis draw order isn't guaranteed)
+    assert "label_propagation" in paths_taken

@@ -107,3 +107,20 @@ def test_prune_rewrite_does_not_inflate_tail_shuffle(spark):
 
     plain, pruned = tail_bytes(0), tail_bytes(2)
     assert pruned <= plain * 2.0, (plain, pruned)
+
+
+def test_dedup_pair_generation_never_cross_joins(spark):
+    """The LSH banding candidate join and the signature verify joins must
+    stay equi-joins at every size — a missing join key would silently
+    plan a BroadcastNestedLoopJoin/CartesianProduct whose cost is |docs|²
+    at crawl scale."""
+    from parallel_connected_components_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_near_duplicates(docs, num_perm=8, num_bands=4, threshold=0.5)
+    pairs.count()  # force execution so the final (AQE) plan is real
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
