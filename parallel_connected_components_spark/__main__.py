@@ -72,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-iterations", type=int, default=100)
     p.add_argument("--cores", type=int, default=None)
     p.add_argument(
+        "--two-phase-range",
+        action="store_true",
+        help="range-partition the two_phase local-UF pass (exploits "
+        "spatial vertex numbering; see BENCH/BASELINE.md highdiam notes)",
+    )
+    p.add_argument(
         "--algorithm",
         choices=["auto", "two_phase", "stars", "labelprop", "afforest"],
         default="auto",
@@ -81,8 +87,10 @@ def main(argv: list[str] | None = None) -> int:
             "on web-shaped/low-diameter graphs — with a stall detector "
             "that hands high-diameter inputs (road networks) to O(log n) "
             "alternating stars; see BENCH/BASELINE.md 'High-diameter'. "
-            "two_phase wins when vertex ids correlate with graph locality "
-            "(its per-partition union-find contraction needs id locality). "
+            "two_phase wins on graphs whose contracted form fits the "
+            "driver merge (few-M vertices), and with --two-phase-range on "
+            "spatially-numbered ids (road networks: 1.7x over hash at 2M "
+            "vertices). "
             "afforest is a faithful port kept for parity: measured SLOWER "
             "than labelprop on every graph shape tried on this substrate "
             "(BENCH/BASELINE.md skewed-graph shootout) — pick it only to "
@@ -153,6 +161,7 @@ def main(argv: list[str] | None = None) -> int:
                 labels, runner = cc_two_phase(
                     spark, edges, vertices=verts, checkpoint_dir=args.checkpoint_dir,
                     max_iterations=args.max_iterations,
+                    partition_by="range" if args.two_phase_range else "hash",
                 )
             out["algorithm"] = args.algorithm
             out["num_components"] = count_components(labels)

@@ -244,6 +244,7 @@ def cc_two_phase(
     max_iterations: int = 50,
     final_local_threshold: int = 2_000_000,
     assume_canonical: bool = False,
+    partition_by: str = "hash",
 ) -> tuple[DataFrame, FixpointRunner]:
     """Local-UF contraction, then merge of the contracted graph.
     Contraction output is ≤ (#distinct vertices per partition) rows per
@@ -251,6 +252,20 @@ def cc_two_phase(
     smaller by the average local component size — the same work-split as
     the MPI UF (local pass, then only cross-partition (root, root) edges
     travel, /root/reference/src/mpi/cc_mpi.c:2018-2341).
+
+    ``partition_by``: "hash" (default) or "range". Contraction quality is
+    entirely a function of how much of the graph is partition-LOCAL:
+    hash partitioning scatters ids, so on hash-random vertex ids the
+    local pass barely contracts (round-2 measurement: 18M → 16.5M).
+    When ids CORRELATE with topology — road networks and meshes number
+    vertices spatially; the reference's roadNet/europe_osm inputs do —
+    ``range`` keeps contiguous id blocks together and each partition's
+    subgraph collapses to a handful of roots. The contracted output is
+    a spanning star per partition (~|V| rows either way — every vertex
+    needs its label), but its STRUCTURE is what the merge pays for:
+    measured on the 2M-vertex road-scale grid, range vs hash in the same
+    session is 30.2 s vs 51.9 s wall, 96 MB vs 509 MB merge shuffle, 6
+    vs 13 star rounds (BENCH/BASELINE.md).
 
     Merge strategy: if the contracted graph fits comfortably on the
     driver (< final_local_threshold rows) finish with one in-memory
@@ -265,8 +280,14 @@ def cc_two_phase(
     # ``assume_canonical`` skips the dedup shuffle when the caller already
     # holds a canonical (src<dst, deduped, no-self-loop) edge table
     canon = edges if assume_canonical else canonicalize(edges)
+    if partition_by == "range":
+        parted = canon.repartitionByRange(n, "src")
+    elif partition_by == "hash":
+        parted = canon.repartition(n, "src")
+    else:
+        raise ValueError(f"partition_by must be 'hash' or 'range', got {partition_by!r}")
     contracted = (
-        canon.repartition(n, "src")
+        parted
         .mapInPandas(_local_uf_partition, schema="src long, dst long")
         .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=True)

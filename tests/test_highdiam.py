@@ -169,3 +169,18 @@ def test_cc_auto_fuzz_random_graphs(spark):
     # (aggressive stall settings usually hit the hand-off too, but a
     # specific hypothesis draw order isn't guaranteed)
     assert "label_propagation" in paths_taken
+
+
+def test_two_phase_range_partitioning_exact(spark):
+    # range partitioning exploits spatial id numbering (road networks);
+    # labels must be identical to the hash default on any input
+    from parallel_connected_components_spark.operators.cc import cc_two_phase
+
+    edges = gen_grid_edges(spark, 25, 20, num_grids=2)
+    for mode in ("range", "hash"):
+        labels, _ = cc_two_phase(spark, edges, partition_by=mode)
+        got = _labels_dict(labels)
+        for v, lab in got.items():
+            assert lab == expected_grid_component_of(v, 25, 20), (mode, v)
+    with pytest.raises(ValueError):
+        cc_two_phase(spark, edges, partition_by="zorder")
