@@ -446,6 +446,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        # — skip them so the marker id is never itself read as 0xFF (which
+        # would fall through to the generic branch and misparse the next
+        # real marker byte as a segment length; self-encoded files never
+        # emit fill bytes, but real crawl JPEGs do)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(payload):
+            break
         marker = payload[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2

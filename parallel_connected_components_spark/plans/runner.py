@@ -52,35 +52,108 @@ class IterationMetrics:
         return d
 
 
-def _shuffle_totals(spark: SparkSession) -> tuple[int, int] | None:
-    """(shuffle read bytes, shuffle write bytes) summed over all stages so
-    far, from the JVM app-status store — the raw material for the
-    reference's per-iteration comm/compute split (its MPI harness prints
-    local-compute vs Alltoallv percentages per run,
+class ShuffleMeter:
+    """Incremental cumulative (shuffle read bytes, shuffle write bytes) from
+    the JVM app-status store — the raw material for the reference's
+    per-iteration comm/compute split (its MPI harness prints local-compute
+    vs Alltoallv percentages per run,
     /root/reference/src/mpi/cc_mpi.c:2309-2330; here the shuffle IS the
-    Alltoallv). Returns None if the internal API is unavailable. Status
-    events post asynchronously, so the listener bus is drained first;
-    per-iteration deltas are diagnostics, not billing."""
-    try:
-        sc = spark.sparkContext
+    Alltoallv).
+
+    Why incremental: ``statusStore().stageList(...)`` costs ~0.5 ms of py4j
+    round-trips PER STAGE (measured), and a naive sum-over-all-stages poll
+    therefore grows linearly with everything the app has ever run — on a
+    multi-query session the per-iteration poll reached seconds and showed
+    up as a wall-clock regression in the stage-heaviest query (round-4
+    PageRank, BENCH_r04 16.2s vs r3 14.5s; the round-5 A/B pinned it on
+    this poll). ``stageList`` returns stages NEWEST-FIRST (descending
+    stageId, verified empirically), so the meter walks only until the first
+    stage it has already finalized and keeps running totals Python-side:
+    O(stages since last poll) per call, and — because finalized stages'
+    bytes are remembered here — the cumulative total stays monotone even
+    when the store evicts old stages (spark.ui.retainedStages can stay at
+    its small default).
+
+    Status events post asynchronously, so the listener bus is drained
+    first; per-iteration deltas are diagnostics, not billing.
+    """
+
+    _FINAL = frozenset({"COMPLETE", "FAILED", "SKIPPED"})
+
+    def __init__(self) -> None:
+        self._final_read = 0
+        self._final_write = 0
+        # stages seen but not yet in a terminal state: id -> (read, write)
+        self._active: dict[int, tuple[int, int]] = {}
+        # every stageId <= floor is fully accounted in the final sums;
+        # _finalized holds the (few) already-summed terminal ids ABOVE the
+        # floor (a still-running stage can have a lower id than completed
+        # ones — the floor can only rise past it once it finishes)
+        self._floor = -1
+        self._finalized: set[int] = set()
+
+    def totals(self, spark: SparkSession) -> tuple[int, int] | None:
         try:
-            sc._jsc.sc().listenerBus().waitUntilEmpty()
-        except Exception:  # noqa: BLE001 — drain is best-effort
-            pass
-        jvm, gw = sc._jvm, sc._gateway
-        stages = sc._jsc.sc().statusStore().stageList(
-            jvm.java.util.ArrayList(), False, False,
-            gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
-        )
-        it = stages.iterator()
-        read = write = 0
-        while it.hasNext():
-            s = it.next()
-            read += s.shuffleReadBytes()
-            write += s.shuffleWriteBytes()
-        return read, write
-    except Exception:  # noqa: BLE001 — internal API; never fail the loop
-        return None
+            sc = spark.sparkContext
+            try:
+                sc._jsc.sc().listenerBus().waitUntilEmpty()
+            except Exception:  # noqa: BLE001 — drain is best-effort
+                pass
+            jvm, gw = sc._jvm, sc._gateway
+            stages = sc._jsc.sc().statusStore().stageList(
+                jvm.java.util.ArrayList(), False, False,
+                gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+            )
+            seen: dict[int, tuple[str, int, int]] = {}
+            it = stages.iterator()
+            while it.hasNext():
+                s = it.next()
+                sid = s.stageId()
+                if sid <= self._floor:
+                    break  # newest-first: everything below is accounted
+                if sid in self._finalized:
+                    continue  # terminal and already summed
+                # multiple attempts share a stageId; keep the max-bytes one
+                # (retries re-run the same work; summing would double-count)
+                st = s.status().toString()
+                r, w = s.shuffleReadBytes(), s.shuffleWriteBytes()
+                if sid in seen:
+                    pr = seen[sid]
+                    if r + w <= pr[1] + pr[2]:
+                        continue
+                seen[sid] = (st, r, w)
+            # stages evicted from the store while still active: freeze at
+            # their last observed values
+            for sid, (r, w) in list(self._active.items()):
+                if sid not in seen:
+                    self._final_read += r
+                    self._final_write += w
+                    self._finalized.add(sid)
+                    del self._active[sid]
+            for sid, (st, r, w) in seen.items():
+                if st in self._FINAL:
+                    self._final_read += r
+                    self._final_write += w
+                    self._finalized.add(sid)
+                    self._active.pop(sid, None)
+                else:
+                    self._active[sid] = (r, w)
+            if self._active:
+                self._floor = min(self._active) - 1
+            elif self._finalized:
+                self._floor = max(self._finalized)
+            self._finalized = {i for i in self._finalized if i > self._floor}
+            read = self._final_read + sum(r for r, _ in self._active.values())
+            write = self._final_write + sum(w for _, w in self._active.values())
+            return read, write
+        except Exception:  # noqa: BLE001 — internal API; never fail the loop
+            return None
+
+
+def _shuffle_totals(spark: SparkSession) -> tuple[int, int] | None:
+    """One-shot full-scan variant (sums every retained stage). Kept for
+    callers without a live meter; loops should use :class:`ShuffleMeter`."""
+    return ShuffleMeter().totals(spark)
 
 
 def _partition_histogram(df: DataFrame) -> list[int]:
@@ -227,7 +300,8 @@ class FixpointRunner:
             state = state.localCheckpoint(eager=True)
 
         prev = None
-        shuffle0 = _shuffle_totals(self.spark) if self.record_shuffle_bytes else None
+        meter = ShuffleMeter() if self.record_shuffle_bytes else None
+        shuffle0 = meter.totals(self.spark) if meter is not None else None
         for it in range(start_iter, self.max_iterations):
             t0 = time.perf_counter()
             new_state = step_fn(state, it).localCheckpoint(eager=True)
@@ -236,13 +310,11 @@ class FixpointRunner:
                 prev.unpersist()
             prev, state = state, new_state
             if shuffle0 is not None:
-                shuffle1 = _shuffle_totals(self.spark)
+                shuffle1 = meter.totals(self.spark)
                 if shuffle1 is not None:
-                    # Clamp: the status store is bounded (spark.ui.retained
-                    # Stages); if old stages are evicted on very long runs
-                    # the cumulative total can drop, which would make the
-                    # delta negative. session.py raises the retention so
-                    # this should not trigger, but the diagnostic must
+                    # Clamp: the meter's running totals are monotone even
+                    # under status-store eviction (finalized stages' bytes
+                    # are remembered Python-side), but the diagnostic must
                     # never go negative regardless.
                     extra = dict(
                         extra,

@@ -59,12 +59,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # The iteration runner reads cumulative shuffle bytes from the
-        # app-status store (plans/runner.py:_shuffle_totals); the default
-        # spark.ui.retainedStages=1000 evicts old stages on long runs,
-        # making the cumulative total non-monotone. Long iterative jobs
-        # here run thousands of stages; retain enough to keep the
-        # per-iteration deltas meaningful (the store is cheap: ~1KB/stage).
-        .config("spark.ui.retainedStages", "100000")
+        # app-status store (plans/runner.py:ShuffleMeter). Round 4 set
+        # retainedStages=100000 to keep that total monotone under eviction
+        # — which made every statusStore poll scan the app's ENTIRE stage
+        # history at ~0.5 ms/stage of py4j round-trips, a measured
+        # wall-clock regression on stage-heavy queries (BENCH_r04
+        # pagerank_1e6 16.2s vs r3 14.5s). The meter is now incremental
+        # and monotone under eviction by itself, so retention stays modest:
+        # large enough that no stage completes AND evicts between two
+        # per-iteration polls (a few stages apart), small enough that the
+        # one-shot full scans (task_skew_report) stay sub-second.
+        .config("spark.ui.retainedStages", "2000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     # Input-split sizing for the local sandbox: bench/test parquet is

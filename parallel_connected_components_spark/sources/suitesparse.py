@@ -75,10 +75,16 @@ def fetch_matrix(
                 target = os.path.realpath(os.path.join(dest_dir, member.name))
                 if not (target == dest_real or target.startswith(dest_real + os.sep)):
                     raise ValueError(f"archive member escapes dest: {member.name}")
-            try:
-                tf.extractall(dest_dir, filter="data")
-            except tarfile.FilterError as exc:
-                raise ValueError(f"unsafe archive member: {exc}") from exc
+            if hasattr(tarfile, "data_filter"):
+                try:
+                    tf.extractall(dest_dir, filter="data")
+                except tarfile.FilterError as exc:
+                    raise ValueError(f"unsafe archive member: {exc}") from exc
+            else:
+                # Python < 3.10.12/3.11.4/3.12 has no extraction filters;
+                # the realpath containment pre-check above already rejected
+                # path traversal, so degrade rather than fail the fetch
+                tf.extractall(dest_dir)  # noqa: S202 — members pre-validated
     finally:
         os.unlink(archive)
     found = _find_mtx(dest_dir, stem)

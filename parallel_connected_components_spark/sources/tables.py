@@ -101,8 +101,12 @@ class TableLayer:
         """The table's own snapshot log, oldest first:
         [{snapshot_id, committed_at, summary: {..}}]."""
         rows = self._sql(
+            # snapshot_id tiebreaker: two rapid commits can share a
+            # committed_at (ms granularity), which would make the
+            # ordinal→snapshot mapping (time travel by snap=k) unstable
             f"SELECT snapshot_id, committed_at, summary "
-            f"FROM {self._ident(name)}.snapshots ORDER BY committed_at"
+            f"FROM {self._ident(name)}.snapshots "
+            f"ORDER BY committed_at, snapshot_id"
         ).collect()
         return [
             {

@@ -289,21 +289,67 @@ def incremental_pagerank_stream(
 # against a from-scratch count on the union).
 # ---------------------------------------------------------------------------
 
+def _tri_versions(state_dir: str) -> list[int]:
+    """Committed fold versions: v{n}/ dirs whose meta.json exists. The
+    meta write is the COMMIT POINT (written atomically, strictly after the
+    edge parquet completes), so a fold that crashed mid-write leaves an
+    uncommitted v{n} that the retry simply overwrites — the edge state and
+    the running total can never disagree (round-5 ADVICE fix: the previous
+    layout appended edges and replaced total.json as two separate commits;
+    a crash between them made the replayed batch anti-join to delta=0 and
+    permanently undercount)."""
+    if not os.path.isdir(state_dir):
+        return []
+    out = []
+    for name in os.listdir(state_dir):
+        if name.startswith("v") and name[1:].isdigit() and os.path.exists(
+            os.path.join(state_dir, name, "meta.json")
+        ):
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def _tri_read_meta(state_dir: str, v: int) -> dict:
+    import json as _json
+
+    with open(os.path.join(state_dir, f"v{v}", "meta.json"), encoding="utf-8") as f:
+        return _json.load(f)
+
+
+def triangle_state_edges(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Accumulated canonical edges across committed folds (None if empty)."""
+    vs = _tri_versions(state_dir)
+    paths = [
+        os.path.join(state_dir, f"v{v}", "edges")
+        for v in vs
+        if os.path.exists(os.path.join(state_dir, f"v{v}", "edges", "_SUCCESS"))
+        # a committed fold can have no edges dir at all when its delta was
+        # entirely duplicates (nothing new to store)
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
 def update_triangle_state(
     spark: SparkSession, batch_edges: DataFrame, state_dir: str
 ) -> dict:
-    """Fold one edge batch. → {"delta": int, "total": int}."""
+    """Fold one edge batch. → {"delta": int, "total": int}.
+
+    Crash/replay-safe: each fold is one versioned commit — v{n}/edges
+    (this fold's genuinely-new canonical edges) plus v{n}/meta.json
+    (this fold's delta and the running total), with meta.json written
+    last via atomic rename as the commit marker. Reads only see committed
+    versions, so a retried batch after any mid-fold crash recomputes
+    against exactly the pre-fold state and overwrites the partial v{n}."""
     from ..operators.graph import canonicalize
     from ..operators.triangles import triangle_count
 
     os.makedirs(state_dir, exist_ok=True)
-    edges_dir = os.path.join(state_dir, "edges")
-    have_state = os.path.isdir(edges_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(edges_dir)
-    )
+    vs = _tri_versions(state_dir)
+    s = triangle_state_edges(spark, state_dir)
     b_canon = canonicalize(batch_edges)
-    if have_state:
-        s = spark.read.parquet(edges_dir)
+    if s is not None:
         b = b_canon.join(s, ["src", "dst"], "left_anti").localCheckpoint(eager=True)
         sym_s = s.unionByName(
             s.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -337,27 +383,31 @@ def update_triangle_state(
     else:
         b = b_canon.localCheckpoint(eager=True)
         delta = triangle_count(spark, b)
-    b.write.mode("append").parquet(edges_dir)
 
-    meta_path = os.path.join(state_dir, "total.json")
-    total = delta
-    if os.path.exists(meta_path):
-        import json as _json
-
-        total += _json.load(open(meta_path))["total"]
     import json as _json
+    import shutil as _shutil
 
-    tmp = meta_path + ".tmp"
+    next_v = (vs[-1] + 1) if vs else 0
+    vdir = os.path.join(state_dir, f"v{next_v}")
+    if os.path.isdir(vdir):  # uncommitted leftovers from a crashed fold
+        _shutil.rmtree(vdir)
+    # 1) the fold's new edges (overwrite — idempotent under retry)
+    n_new = b.count()
+    if n_new:
+        b.write.mode("overwrite").parquet(os.path.join(vdir, "edges"))
+    else:
+        os.makedirs(vdir, exist_ok=True)
+    # 2) the commit marker, carrying the running total in the same unit
+    total = delta + (_tri_read_meta(state_dir, vs[-1])["total"] if vs else 0)
+    tmp = os.path.join(vdir, "meta.json.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
-        _json.dump({"total": total}, f)
-    os.replace(tmp, meta_path)
+        _json.dump({"delta": delta, "total": total, "new_edges": n_new}, f)
+    os.replace(tmp, os.path.join(vdir, "meta.json"))
     return {"delta": delta, "total": total}
 
 
 def triangle_state_total(state_dir: str) -> int:
-    import json as _json
-
-    meta_path = os.path.join(state_dir, "total.json")
-    if not os.path.exists(meta_path):
+    vs = _tri_versions(state_dir)
+    if not vs:
         return 0
-    return _json.load(open(meta_path))["total"]
+    return _tri_read_meta(state_dir, vs[-1])["total"]

@@ -190,3 +190,33 @@ def test_progressive_sof2_raises_valueerror():
     payload[idx + 1] = 0xC2
     with pytest.raises(ValueError, match="non-baseline"):
         decode_jpeg(bytes(payload))
+
+
+def test_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a marker.
+    Self-encoded files never emit them, but real crawl JPEGs do — insert
+    padding before every non-SOI marker segment and require an identical
+    decode (round-5 ADVICE fix: the padded 0xFF used to be taken as the
+    marker id itself, misparsing the stream)."""
+    img = gradient(24, 16)
+    payload = encode_jpeg(img, quality=85)
+    base = decode_jpeg(payload)
+    # walk the marker stream (pre-scan only: stop at SOS — padding inside
+    # entropy-coded data is a different construct) and pad each marker
+    out = bytearray(payload[:2])  # SOI
+    pos = 2
+    while pos < len(payload):
+        assert payload[pos] == 0xFF
+        marker = payload[pos + 1]
+        out += b"\xFF\xFF\xFF"  # three fill bytes, then the real marker
+        if marker == 0xDA:  # SOS: copy the rest verbatim
+            out += payload[pos:]
+            break
+        seg_len = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        out += payload[pos:pos + 2 + seg_len]
+        pos += 2 + seg_len
+    padded = bytes(out)
+    assert padded != payload
+    got = decode_jpeg(padded)
+    assert got.shape == base.shape
+    assert np.array_equal(got, base)

@@ -213,7 +213,9 @@ def test_iceberg_branch_snapshot_semantics(spark, tmp_path):
         for s in tl.sql_log
     )
     assert any(
-        "FROM spark_catalog.pccs.t.snapshots ORDER BY committed_at" in s
+        # snapshot_id tiebreaker: ms-granularity committed_at ties must
+        # not make ordinal time travel nondeterministic (round-5 ADVICE)
+        "FROM spark_catalog.pccs.t.snapshots ORDER BY committed_at, snapshot_id" in s
         for s in tl.sql_log
     )
     tl.drop("t")
@@ -271,3 +273,171 @@ def test_iceberg_load_ordinal_bounds(spark, tmp_path):
         tl.load("t", snap=5)
     with _pytest.raises(FileNotFoundError):
         tl.load("t", snap=-1)  # must not alias Python tail indexing
+
+
+# ---------------------------------------------------------------------------
+# ShuffleMeter incremental merge (round 5): the meter must be O(new stages)
+# per poll AND monotone under status-store eviction — tested against a fake
+# py4j surface so every merge edge case is deterministic.
+# ---------------------------------------------------------------------------
+
+class _FakeStage:
+    def __init__(self, sid, status, read, write):
+        self._sid, self._st, self._r, self._w = sid, status, read, write
+
+    def stageId(self):
+        return self._sid
+
+    def status(self):
+        class S:  # noqa: D401 — mimics the py4j enum's toString()
+            def __init__(self, v):
+                self.v = v
+
+            def toString(self):
+                return self.v
+
+        return S(self._st)
+
+    def shuffleReadBytes(self):
+        return self._r
+
+    def shuffleWriteBytes(self):
+        return self._w
+
+
+class _FakeSparkForMeter:
+    """Mimics exactly the py4j call chain ShuffleMeter.totals touches;
+    `stages` is mutated between polls to simulate progress + eviction."""
+
+    def __init__(self):
+        self.stages: list[_FakeStage] = []  # newest-first, like the real store
+
+    @property
+    def sparkContext(self):
+        return self
+
+    @property
+    def _jsc(self):
+        return self
+
+    def sc(self):
+        return self
+
+    def listenerBus(self):
+        return self
+
+    def waitUntilEmpty(self):
+        pass
+
+    @property
+    def _jvm(self):
+        class J:
+            class java:
+                class util:
+                    ArrayList = list
+
+            double = float
+
+        return J
+
+    @property
+    def _gateway(self):
+        class G:
+            @staticmethod
+            def new_array(_t, _n):
+                return []
+
+        return G
+
+    def statusStore(self):
+        return self
+
+    def stageList(self, *_a):
+        outer = self
+
+        class L:
+            def iterator(self):
+                it = iter(outer.stages)
+
+                class I:
+                    def __init__(self):
+                        self._buf = list(it)
+                        self._i = 0
+
+                    def hasNext(self):
+                        return self._i < len(self._buf)
+
+                    def next(self):
+                        v = self._buf[self._i]
+                        self._i += 1
+                        return v
+
+                return I()
+
+        return L()
+
+
+def test_shuffle_meter_incremental_and_monotone():
+    from parallel_connected_components_spark.plans.runner import ShuffleMeter
+
+    fake = _FakeSparkForMeter()
+    m = ShuffleMeter()
+    # poll 1: stage 0 complete (10/20), stage 1 active (5/5)
+    fake.stages = [_FakeStage(1, "ACTIVE", 5, 5), _FakeStage(0, "COMPLETE", 10, 20)]
+    assert m.totals(fake) == (15, 25)
+    # poll 2: same list — active stage must not double-count, totals stable
+    assert m.totals(fake) == (15, 25)
+    # poll 3: stage 1 completes with more bytes; stage 2 completes above it
+    fake.stages = [
+        _FakeStage(2, "COMPLETE", 100, 0),
+        _FakeStage(1, "COMPLETE", 7, 9),
+        _FakeStage(0, "COMPLETE", 10, 20),
+    ]
+    assert m.totals(fake) == (117, 29)
+    # poll 4: store evicts everything (retainedStages) — totals keep the
+    # finalized history (monotone), not drop to zero
+    fake.stages = []
+    assert m.totals(fake) == (117, 29)
+    # poll 5: new stage after eviction
+    fake.stages = [_FakeStage(3, "COMPLETE", 1, 1)]
+    assert m.totals(fake) == (118, 30)
+
+
+def test_shuffle_meter_active_below_completed_no_double_count():
+    """A long-running stage with a LOWER id than later completed stages:
+    the completed ones above it must be summed exactly once across polls."""
+    from parallel_connected_components_spark.plans.runner import ShuffleMeter
+
+    fake = _FakeSparkForMeter()
+    m = ShuffleMeter()
+    fake.stages = [
+        _FakeStage(6, "COMPLETE", 50, 50),
+        _FakeStage(5, "ACTIVE", 1, 1),
+    ]
+    assert m.totals(fake) == (51, 51)
+    assert m.totals(fake) == (51, 51)  # re-poll: 6 not re-added
+    # 5 finishes; a retried attempt of 6 shows smaller bytes (ignored)
+    fake.stages = [
+        _FakeStage(6, "COMPLETE", 50, 50),
+        _FakeStage(5, "COMPLETE", 2, 3),
+    ]
+    assert m.totals(fake) == (52, 53)
+    # active stage evicted mid-flight freezes at last observed values
+    fake.stages = [_FakeStage(7, "ACTIVE", 4, 4)]
+    assert m.totals(fake) == (56, 57)
+    fake.stages = []
+    assert m.totals(fake) == (56, 57)
+
+
+def test_shuffle_meter_multi_attempt_keeps_max():
+    from parallel_connected_components_spark.plans.runner import ShuffleMeter
+
+    fake = _FakeSparkForMeter()
+    m = ShuffleMeter()
+    # two attempts of stage 0 retained simultaneously: count the larger once
+    fake.stages = [
+        _FakeStage(0, "COMPLETE", 9, 9),
+        _FakeStage(0, "FAILED", 4, 4),
+    ]
+    assert m.totals(fake) == (9, 9)
+    assert m.totals(fake) == (9, 9)

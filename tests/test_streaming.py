@@ -366,3 +366,51 @@ def test_incremental_triangles_match_batch(spark, tmp_path):
         spark, spark.createDataFrame(chunks[0], "src long, dst long"), state
     )
     assert again["delta"] == 0 and again["total"] == running
+
+
+def test_incremental_triangles_replay_after_crash(spark, tmp_path):
+    """Round-5 ADVICE (medium): a fold that crashes between writing its
+    edges and committing its total must be invisible — the retried batch
+    recomputes against the pre-crash state and the running total stays
+    exact (previously the edge append and total.json were two separate
+    commits, so the retry anti-joined to delta=0 and undercounted
+    forever)."""
+    import os
+    import shutil
+
+    from parallel_connected_components_spark.operators.triangles import triangle_count
+    from parallel_connected_components_spark.streaming.graph import (
+        triangle_state_total,
+        update_triangle_state,
+    )
+
+    # two interleaved batches with cross-batch triangles
+    edges = [(i, (i + 1) % 30) for i in range(30)] + [(i, (i + 2) % 30) for i in range(30)]
+    b1, b2 = edges[0::2], edges[1::2]
+    state = str(tmp_path / "tri_crash")
+    out1 = update_triangle_state(spark, spark.createDataFrame(b1, "src long, dst long"), state)
+
+    # simulate a crash mid-fold of batch 2: edges land, commit marker doesn't
+    out2 = update_triangle_state(spark, spark.createDataFrame(b2, "src long, dst long"), state)
+    v1 = os.path.join(state, "v1")
+    assert os.path.exists(os.path.join(v1, "meta.json"))
+    os.unlink(os.path.join(v1, "meta.json"))  # roll back the commit marker only
+
+    # the uncommitted fold is invisible: state total == batch-1 total
+    assert triangle_state_total(state) == out1["total"]
+
+    # replay batch 2 (Structured Streaming re-runs the failed batch):
+    # identical delta/total, the partial v1 simply overwritten
+    out2_replay = update_triangle_state(
+        spark, spark.createDataFrame(b2, "src long, dst long"), state
+    )
+    assert out2_replay == out2
+    expected = triangle_count(spark, spark.createDataFrame(edges, "src long, dst long"))
+    assert triangle_state_total(state) == expected
+
+    # and a clean duplicate replay on top of the committed fold is a no-op
+    again = update_triangle_state(
+        spark, spark.createDataFrame(b2, "src long, dst long"), state
+    )
+    assert again["delta"] == 0 and again["total"] == expected
+    shutil.rmtree(state)
