@@ -132,7 +132,7 @@ def main(argv: list[str] | None = None) -> int:
                 out["auto_path"] = info["algorithm"]
                 out["auto_iterations"] = {
                     "labelprop": info["lp_iterations"],
-                    "stars": info["stars_iterations"],
+                    "finish": info["finish_iterations"],
                 }
             elif args.algorithm == "stars":
                 from .operators import cc_alternating_stars

@@ -72,11 +72,19 @@ MEDIA_ORACLE_SEED = 7
 
 def _media_oracle_path() -> str:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # v4: gen_media rotates image containers PNG/JPEG/PPM (JPEG decoded
-    # by the from-scratch baseline codec in operators/jpeg.py; JPEG rows
-    # alternate 4:4:4 and 4:2:0 subsampling)
+    # v5: gen_media rotates image containers PNG/JPEG/PPM with both
+    # sequential (SOF0) and progressive (SOF2) JPEG rows, each at 4:4:4
+    # and 4:2:0 (decoded by the from-scratch codec in operators/jpeg.py)
     return os.path.join(
-        repo, ".data", f"media_oracle_v4_n{MEDIA_ORACLE_N}_s{MEDIA_ORACLE_SEED}"
+        repo, ".data", f"media_oracle_v5_n{MEDIA_ORACLE_N}_s{MEDIA_ORACLE_SEED}"
+    )
+
+
+def _media_av_path() -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # v1: MP3/MP4 container-metadata table (operators/mediameta.py)
+    return os.path.join(
+        repo, ".data", f"media_av_v1_n{MEDIA_ORACLE_N}_s{MEDIA_ORACLE_SEED}"
     )
 
 
@@ -774,6 +782,41 @@ def build_queries():
                END AS dec_n_samples
         FROM read_parquet('{_media_oracle_path()}/*.parquet')
         WHERE kind IN ('image', 'audio')""",
+    )
+
+    # MP3/MP4 container metadata (round 5): the Spark side parses frame
+    # headers / ISO-BMFF boxes straight from the payload BLOBs
+    # (operators/mediameta.py); the oracle recomputes every value from
+    # the generator's independent metadata columns + octet_length:
+    # MPEG-1 L3 @32kHz has exactly 36 ms/frame, so frames =
+    # duration_ms/36 and kbps = bytes-per-frame / 4.5; MP4 rows use
+    # timescale 1000 (duration == ms) and tracks = 1 + media_id % 2 by
+    # construction. A parser off by one frame or reading the wrong mvhd
+    # field cannot pass.
+    def _media_av(spark, sf):
+        from .operators.mediameta import gen_media_av, media_container_meta
+
+        path = _media_av_path()
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            gen_media_av(spark, MEDIA_ORACLE_N, seed=MEDIA_ORACLE_SEED).write.mode(
+                "overwrite"
+            ).parquet(path)
+        return media_container_meta(spark.read.parquet(path))
+
+    q(
+        "media_av_meta",
+        _media_av,
+        f"""SELECT media_id, kind,
+               CASE WHEN kind = 'audio' THEN 'mp3' ELSE 'mp4' END AS container,
+               duration_ms::BIGINT AS duration_ms,
+               CASE WHEN kind = 'audio' THEN sample_rate END::INT AS sample_rate,
+               CASE WHEN kind = 'audio'
+                    THEN (octet_length(payload) // (duration_ms // 36)) * 2 // 9
+               END::INT AS bitrate_kbps,
+               CASE WHEN kind = 'audio' THEN duration_ms // 36 END::INT AS frames,
+               CASE WHEN kind = 'video' THEN 1 + media_id % 2 END::INT AS tracks,
+               CASE WHEN kind = 'video' THEN 'isom' END AS major_brand
+        FROM read_parquet('{_media_av_path()}/*.parquet')""",
     )
 
     # ---------------- window functions over events ---------------------------

@@ -204,35 +204,172 @@ def cc_alternating_stars(
 # 2. Two-phase: partition-local union-find contraction + stars
 # --------------------------------------------------------------------------
 
+def estimate_edge_locality(
+    edges: DataFrame,
+    num_ranges: int,
+    sample_limit: int = 200_000,
+    seed: int = 7,
+) -> tuple[float, dict]:
+    """Fraction of edges whose endpoints fall in the same equal-width id
+    range block — the signal for whether range partitioning will make
+    :func:`cc_two_phase`'s local contraction effective (round-5 VERDICT
+    item 5). Spatially-numbered graphs (road networks, meshes — the
+    reference's roadNet/europe_osm inputs number vertices by geography)
+    measure near 1.0; hash-random id spaces measure ~1/num_ranges. The
+    separation is huge, so the 0.5 decision threshold is robust.
+
+    Equal-width blocks approximate ``repartitionByRange``'s sampled
+    equal-count quantiles; they agree whenever ids are near-uniform over
+    their span (true for both regimes above — a spatially-numbered graph
+    is dense in its id space). Cost: one min/max/count aggregate + one
+    avg over a bounded sample (two small jobs); integer ``div`` keeps the
+    block arithmetic exact for 64-bit id spans where double division
+    would lose low bits."""
+    stats = edges.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.min("src").alias("s0"), F.max("src").alias("s1"),
+        F.min("dst").alias("d0"), F.max("dst").alias("d1"),
+    ).collect()[0]
+    m = stats["m"]
+    if not m:
+        return 0.0, {"edges": 0, "sampled": 0, "num_ranges": num_ranges}
+    lo = min(stats["s0"], stats["d0"])
+    hi = max(stats["s1"], stats["d1"])
+    span = hi - lo + 1
+    width = max(1, -(-span // num_ranges))
+    sample = (
+        edges.sample(False, min(1.0, sample_limit / m), seed=seed)
+        if m > sample_limit
+        else edges
+    )
+    if span < 2**62:
+        # |id - lo| <= span, so the subtraction cannot overflow: exact
+        # integer block arithmetic
+        blk = lambda c: F.expr(f"({c} - {lo}) DIV {width}")  # noqa: E731
+    else:
+        # full-range 64-bit id spaces (xxhash64 vertex ids): (id - lo)
+        # overflows int64 under ANSI mode — compute blocks in double
+        # (≤2^-53 relative error, irrelevant for a >=0.5-vs-~1/n_ranges
+        # decision signal; such id spaces are hash-random anyway)
+        blk = lambda c: F.floor(  # noqa: E731
+            (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(float(width))
+        )
+    same_block = (blk("src") == blk("dst")).cast("double")
+    row = sample.agg(
+        F.avg(same_block).alias("loc"), F.count(F.lit(1)).alias("k")
+    ).collect()[0]
+    return float(row["loc"] or 0.0), {
+        "edges": m,
+        "sampled": row["k"],
+        "num_ranges": num_ranges,
+        "id_span": span,
+    }
+
+def _numpy_cc_kernel(
+    src: "np.ndarray", dst: "np.ndarray"
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Vectorized local connected components: (nodes, root-per-node), root
+    = min vertex id of the node's component within this edge batch.
+
+    Round-5 replacement for the per-edge Python UF loop (which capped
+    contraction at ~1M edges/s/core — the reference's hottest loop too,
+    /root/reference/src/mpi/cc_mpi.c:1856-1934). Round 2 measured naive
+    numpy formulations LOSING to the dict UF (PLANS.md §7: minimum.at
+    0.4x, per-round reduceat 0.7x); this kernel differs in the three ways
+    that measured decisive (shootout, BENCH/BASELINE.md):
+
+    1. compaction is a dense lookup table whenever the batch's id span is
+       ≤ 8x its edge count (every bounded-id graph: generator pages, MTX,
+       grids, doc-id pair graphs) — `np.unique(return_inverse=True)`
+       alone cost 2.5x the dict UF's TOTAL on a 560k-edge batch; the
+       sorted-unique + searchsorted fallback covers hash-random 64-bit id
+       spaces (embedding fingerprints) at ~0.2s/1M endpoints;
+    2. min-hooks are applied via one packed-key sort per round — keys
+       (hi << bits | lo) sorted ascending put each hi's minimum lo at the
+       head of its run, so the scatter is a plain unique-index assignment
+       (no ufunc.at);
+    3. each round REPLACES the edge set with its deduped label-space
+       contraction, so per-round work tracks the shrinking contracted
+       graph, then pointer-jumps parent to full convergence (log passes).
+
+    Convergence: hooks strictly decrease parent values within a
+    component; the component's min vertex m always has parent[m] = m
+    (hooks only ever assign larger ids a smaller parent), and rounds stop
+    only when every edge's endpoints share a root — a second root r != m
+    in m's component would leave some connecting edge live — so all roots
+    are component minima, exactly the dict UF's union-by-min result
+    (differential-tested in tests/test_cc.py)."""
+    import numpy as np
+
+    mask = src != dst
+    src, dst = src[mask], dst[mask]
+    if len(src) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    lo_id = min(int(src.min()), int(dst.min()))
+    hi_id = max(int(src.max()), int(dst.max()))
+    span = hi_id - lo_id + 1
+    if span <= 8 * len(src) + 1024:
+        present = np.zeros(span, dtype=bool)
+        present[src - lo_id] = True
+        present[dst - lo_id] = True
+        nodes = np.flatnonzero(present).astype(np.int64) + lo_id  # sorted
+        lut = np.empty(span, dtype=np.int64)
+        lut[nodes - lo_id] = np.arange(len(nodes), dtype=np.int64)
+        s, d = lut[src - lo_id], lut[dst - lo_id]
+    else:
+        nodes = np.unique(np.concatenate([src, dst]))  # sorted
+        s = np.searchsorted(nodes, src)
+        d = np.searchsorted(nodes, dst)
+    n = len(nodes)
+    bits = max(1, int(n).bit_length())
+    if 2 * bits > 62:  # packed key would overflow int64 (n >= 2^31 local
+        # vertices in ONE partition batch — repartition instead)
+        raise ValueError(f"partition batch too large for packed keys: {n} vertices")
+    low_mask = (1 << bits) - 1
+    parent = np.arange(n, dtype=np.int64)
+    while True:
+        ps, pd_ = parent[s], parent[d]
+        hi = np.maximum(ps, pd_)
+        lo = np.minimum(ps, pd_)
+        live = hi != lo
+        if not live.any():
+            break
+        keys = np.unique((hi[live] << bits) | lo[live])
+        his = keys >> bits
+        starts = np.empty(len(keys), dtype=bool)
+        starts[0] = True
+        np.not_equal(his[1:], his[:-1], out=starts[1:])
+        uh = his[starts]
+        parent[uh] = np.minimum(parent[uh], keys[starts] & low_mask)
+        while True:  # pointer jumping to convergence
+            p2 = parent[parent]
+            if np.array_equal(p2, parent):
+                break
+            parent = p2
+        s, d = his, keys & low_mask  # contracted deduped edge set
+    return nodes, nodes[parent]
+
+
 def _local_uf_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per-partition union-find over the partition's edge batch; emits the
-    local spanning star (vertex > local_root pairs). Pure function of the
-    partition content — safe under task retry (deterministic for a given
-    partition assignment; the downstream star rounds make the final labels
-    independent of partitioning entirely, verified by tests)."""
-    parent: dict[int, int] = {}
+    """Per-partition connected components over the partition's edge batch;
+    emits the local spanning star (vertex > local_root pairs). Pure
+    function of the partition content — safe under task retry
+    (deterministic for a given partition assignment; the downstream star
+    rounds make the final labels independent of partitioning entirely,
+    verified by tests). Arrow hands the partition over as ~10k-row
+    batches; the vectorized kernel wants the whole batch at once."""
+    import numpy as np
 
-    def find(x: int) -> int:
-        root = parent.setdefault(x, x)
-        while parent[root] != root:
-            parent[root] = parent[parent[root]]
-            root = parent[root]
-        parent[x] = root
-        return root
-
+    srcs, dsts = [], []
     for pdf in batches:
-        # .tolist() up front: iterating Python ints is ~2x faster than
-        # numpy scalars in this per-edge loop
-        for u, v in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
-            if u == v:
-                continue
-            ru, rv = find(u), find(v)
-            if ru != rv:
-                lo, hi = (ru, rv) if ru < rv else (rv, ru)
-                parent[hi] = lo
-    rows = [(x, find(x)) for x in parent]
-    out = pd.DataFrame(rows, columns=["src", "dst"])
-    yield out[out["src"] != out["dst"]]
+        srcs.append(pdf["src"].to_numpy(dtype=np.int64, copy=False))
+        dsts.append(pdf["dst"].to_numpy(dtype=np.int64, copy=False))
+    if not srcs:
+        yield pd.DataFrame({"src": [], "dst": []}).astype("int64")
+        return
+    nodes, roots = _numpy_cc_kernel(np.concatenate(srcs), np.concatenate(dsts))
+    keep = nodes != roots
+    yield pd.DataFrame({"src": nodes[keep], "dst": roots[keep]})
 
 
 def cc_two_phase(
@@ -280,12 +417,23 @@ def cc_two_phase(
     # ``assume_canonical`` skips the dedup shuffle when the caller already
     # holds a canonical (src<dst, deduped, no-self-loop) edge table
     canon = edges if assume_canonical else canonicalize(edges)
+    partition_info: dict | None = None
+    if partition_by == "auto":
+        # measured (BENCH/BASELINE.md, 2M-vertex grid): range vs hash is
+        # 30.2s vs 51.9s wall / 96 vs 509 MB merge shuffle when ids carry
+        # spatial locality, and a wash on hash-random ids — the caller
+        # shouldn't have to know which regime they're in
+        locality, pinfo = estimate_edge_locality(canon, n)
+        partition_by = "range" if locality >= 0.5 else "hash"
+        partition_info = {**pinfo, "locality": round(locality, 4), "selected": partition_by}
     if partition_by == "range":
         parted = canon.repartitionByRange(n, "src")
     elif partition_by == "hash":
         parted = canon.repartition(n, "src")
     else:
-        raise ValueError(f"partition_by must be 'hash' or 'range', got {partition_by!r}")
+        raise ValueError(
+            f"partition_by must be 'hash', 'range' or 'auto', got {partition_by!r}"
+        )
     contracted = (
         parted
         .mapInPandas(_local_uf_partition, schema="src long, dst long")
@@ -332,6 +480,7 @@ def cc_two_phase(
             .join(labels, "vertex", "left")
             .select("vertex", F.coalesce("label", F.col("vertex")).alias("label"))
         )
+    runner.partition_info = partition_info  # None unless partition_by="auto"
     return labels, runner
 
 
@@ -771,7 +920,7 @@ def cc_auto(
     tests/test_highdiam.py).
 
     → (labels(vertex, label), info) where info carries the chosen path
-    (``algorithm``: "label_propagation" or "lp+stars"), both runners, and
+    (``algorithm``: "label_propagation" or "lp+two_phase"), both runners, and
     per-phase iteration counts.
     """
     lp_labels, lp_runner = cc_label_propagation(
@@ -788,33 +937,46 @@ def cc_auto(
     info: dict = {
         "algorithm": "label_propagation",
         "lp_runner": lp_runner,
-        "stars_runner": None,
+        "finish_runner": None,
         "lp_iterations": lp_runner.num_iterations,
-        "stars_iterations": 0,
+        "finish_iterations": 0,
     }
     if not getattr(lp_runner, "stalled", False):
         return lp_labels, info
 
-    # High-diameter escape: contract by the mid-flight labels, finish with
-    # stars (contract_edges is the shared contraction step; stars
-    # canonicalizes — dedup + orient — internally).
+    # High-diameter escape: contract by the mid-flight labels, then finish
+    # the contracted graph with two-phase CC under auto partition
+    # selection (round 5; previously alternating stars). Rationale,
+    # measured at the 2M-vertex grid (BENCH/BASELINE.md): label ids are
+    # component-region minima, so on spatially-numbered graphs the
+    # contracted graph KEEPS id locality — range-partitioned local UF cut
+    # the merge shuffle 5.4x vs hash and beat stars 30.2s vs 71.6s; and
+    # when LP already shrank the graph under the driver-merge threshold,
+    # two_phase finishes in a single in-memory pass instead of log-n star
+    # rounds. On graphs without locality the estimator picks hash and
+    # two_phase's merge IS alternating stars — never worse than before.
     lab = lp_labels.localCheckpoint(eager=True)
     contracted = contract_edges(edges_sym, lab)
-    stars_labels, stars_runner = cc_alternating_stars(
-        spark, contracted, max_iterations=max_iterations
+    finish_labels, finish_runner = cc_two_phase(
+        spark,
+        contracted,
+        max_iterations=max_iterations,
+        checkpoint_dir=checkpoint_dir,
+        partition_by="auto",
     )
-    # Compose: label(v) = stars_label(l(v)); labels whose component was
+    # Compose: label(v) = finish_label(l(v)); labels whose component was
     # already fully resolved by LP never reach the contracted graph —
     # left join + coalesce keeps them as-is.
-    star_map = stars_labels.select(
+    finish_map = finish_labels.select(
         F.col("vertex").alias("label"), F.col("label").alias("_sl")
     )
-    final = lab.join(star_map, "label", "left").select(
+    final = lab.join(finish_map, "label", "left").select(
         "vertex", F.coalesce("_sl", F.col("label")).alias("label")
     )
     info.update(
-        algorithm="lp+stars",
-        stars_runner=stars_runner,
-        stars_iterations=stars_runner.num_iterations,
+        algorithm="lp+two_phase",
+        finish_runner=finish_runner,
+        finish_iterations=finish_runner.num_iterations,
+        partition_info=getattr(finish_runner, "partition_info", None),
     )
     return final, info

@@ -21,9 +21,29 @@ JPEG is lossy: the contract is dimensional exactness + bounded pixel
 error (tests assert PSNR), not byte equality. Grayscale (1-component)
 files decode to (h, w, 3) like every other image path here.
 
-Progressive (SOF2) and arithmetic-coded files raise ValueError — out of
-scope for a baseline codec; MP3/MP4 stay behind the strict gate in
-multimodal.py.
+Round 5 adds progressive (SOF2) support — real crawls are majority-
+progressive, so a baseline-only decoder's practical coverage was small:
+- decoder: multi-scan accumulation with spectral selection (Ss..Se) and
+  successive approximation (Ah/Al) per ITU-T T.81 Annex G — interleaved
+  and single-component DC scans (first + bit refinement), non-interleaved
+  AC scans with EOBn run decoding, and the G.1.2.3 AC refinement walk
+  (correction bits for history-nonzero coefficients, sign-coded
+  newly-nonzero placement); coefficients accumulate across scans and one
+  vectorized dequantize+IDCT finishes the image.
+- encoder (:func:`encode_jpeg_progressive`): a libjpeg-style 10-scan
+  script (DC Al=1 + refinement; Y AC split 1-5/6-63 at Al=2 refined
+  through Al=1 and Al=0; chroma AC at Al=1 refined to Al=0), emitting the
+  same Annex-K Huffman tables — which caps EOB runs at 1 (Annex K
+  carries no EOBn>1 symbols); the decoder's multi-block EOBn path is
+  covered by a hand-built custom-DHT fixture in tests.
+
+A fully-refined progressive file reconstructs the EXACT quantized
+coefficients of the equivalent sequential file, so the decoder is tested
+for bit-identical pixels against the baseline decode — not just PSNR.
+
+Arithmetic-coded (SOF9+) files raise ValueError; MP3/MP4 sample decode
+stays behind the strict gate in multimodal.py (container metadata parses
+natively via operators/mediameta.py).
 """
 
 from __future__ import annotations
@@ -357,6 +377,235 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G) — the test-data source for the
+# progressive decoder; real crawls are majority-SOF2.
+# ---------------------------------------------------------------------------
+
+# libjpeg-style default progression: DC at Al=1 then refined; luma AC in
+# two spectral bands at Al=2 refined through Al=1 to Al=0; chroma AC at
+# Al=1 refined to Al=0. Entries: (comp_indices, Ss, Se, Ah, Al).
+_DEFAULT_SCAN_SCRIPT = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+]
+def _emit_dc_first(bw, zz, dc_tbl, pred, ci, al):
+    v = int(zz[0]) >> al  # arithmetic shift: pairs with the |= refinement
+    diff = v - pred[ci]
+    pred[ci] = v
+    s, bits_ = _magnitude(diff)
+    code, ln = dc_tbl[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(bits_, s)
+
+
+def _emit_ac_first(bw, zz, ac_tbl, ss, se, al):
+    """Sign-magnitude at level Al; EOB run capped at 1 (Annex-K tables
+    carry no EOBn>1 symbols)."""
+    run = 0
+    emitted = False
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tbl[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = t.bit_length()
+        mag = t if v > 0 else (-t) + (1 << s) - 1
+        code, ln = ac_tbl[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(mag, s)
+        run = 0
+        emitted = True
+    if run or not emitted and se >= ss:
+        # trailing zeros → EOB0 (also covers the all-zero band)
+        code, ln = ac_tbl[0x00]
+        bw.write(code, ln)
+
+
+def _emit_ac_refine(bw, zz, ac_tbl, ss, se, al):
+    """G.1.2.3 encoder walk (figure G.7 discipline): corrections for
+    coefficients already nonzero at Ah, sign-coded newly-nonzero ones.
+    The load-bearing subtlety: a pending ZRL must be emitted at the FIRST
+    nonzero coefficient after the >15-zero run — even when that
+    coefficient only needs a correction bit — and only while k has not
+    passed the last newly-nonzero position (EOB), beyond which runs fold
+    into the final EOB symbol. Getting this wrong desynchronizes the
+    correction-bit stream from the decoder's walk (caught by the
+    bit-identical differential test). EOB run capped at 1 (Annex-K tables
+    carry no EOBn>1 symbols)."""
+    ah = al + 1
+    # last newly-nonzero position; runs beyond it fold into the final EOB
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        if (abs(v) >> al) == 1 and (abs(v) >> ah) == 0:
+            eob = k
+    run = 0
+    pending: list[int] = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            code, ln = ac_tbl[0xF0]
+            bw.write(code, ln)
+            run -= 16
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        if (abs(v) >> ah) != 0:  # history-nonzero: correction bit
+            pending.append(t & 1)
+            continue
+        # newly-nonzero at this level (t == 1; implies k <= eob, so the
+        # ZRL loop above has bounded run to <= 15)
+        code, ln = ac_tbl[(run << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if v > 0 else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        run = 0
+    if run or pending:
+        code, ln = ac_tbl[0x00]  # EOB0
+        bw.write(code, ln)
+        for b in pending:
+            bw.write(b, 1)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "444",
+    scans: list[tuple] | None = None,
+) -> bytes:
+    """(h, w, 3) or (h, w) uint8 → progressive (SOF2) JFIF bytes using the
+    Annex-K Huffman tables and a libjpeg-style successive-approximation
+    scan script. Fully refined to Al=0, so the decoded image is
+    bit-identical to decoding the equivalent sequential file (same
+    quantized coefficients). Deterministic."""
+    gray_in = arr.ndim == 2
+    if gray_in:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub = 2 if subsampling == "420" else 1
+    qy = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    ycc = _rgb_to_ycbcr(arr)
+    mcu = 8 * sub
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    ycc = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+
+    zz = [_plane_to_zz(ycc[:, :, 0] - 128.0, qy)]
+    for c in (1, 2):
+        plane = ycc[:, :, c]
+        if sub == 2:
+            plane = plane.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        zz.append(_plane_to_zz(plane - 128.0, qc))
+
+    comp_hv = [(sub, sub), (1, 1), (1, 1)]
+    hmax = vmax = sub
+    mcus_y, mcus_x = ph // mcu, pw // mcu
+    # non-interleaved block grids (A.2.2)
+    nb = []
+    for hv in comp_hv:
+        cw = -(-(w * hv[0]) // hmax)
+        ch = -(-(h * hv[1]) // vmax)
+        nb.append((-(-ch // 8), -(-cw // 8)))
+
+    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+                _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+                _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+
+    script = scans if scans is not None else _DEFAULT_SCAN_SCRIPT
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + qy.astype(np.uint8)[ZIGZAG].tobytes())
+    out += seg(0xFFDB, b"\x01" + qc.astype(np.uint8)[ZIGZAG].tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, hv, tq in ((1, (sub << 4) | sub, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        sof += struct.pack(">BBB", cid, hv, tq)
+    out += seg(0xFFC2, sof)  # SOF2
+    for tc_th, bits, vals in (
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+        (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ):
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    for comp_idx, ss, se, ah, al in script:
+        bw = _BitWriter()
+        if ss == 0:  # DC scan
+            pred = [0, 0, 0]
+            if len(comp_idx) > 1:  # interleaved MCU order
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for ci in comp_idx:
+                            hvx, hvy = comp_hv[ci]
+                            for by in range(hvy):
+                                for bx in range(hvx):
+                                    b = zz[ci][my * hvy + by, mx * hvx + bx]
+                                    if ah == 0:
+                                        _emit_dc_first(
+                                            bw, b, dc_codes[min(ci, 1)], pred, ci, al
+                                        )
+                                    else:
+                                        bw.write((int(b[0]) >> al) & 1, 1)
+            else:
+                ci = comp_idx[0]
+                for by in range(nb[ci][0]):
+                    for bx in range(nb[ci][1]):
+                        b = zz[ci][by, bx]
+                        if ah == 0:
+                            _emit_dc_first(bw, b, dc_codes[min(ci, 1)], pred, ci, al)
+                        else:
+                            bw.write((int(b[0]) >> al) & 1, 1)
+        else:  # AC scan: single component, non-interleaved
+            ci = comp_idx[0]
+            tbl = ac_codes[min(ci, 1)]
+            for by in range(nb[ci][0]):
+                for bx in range(nb[ci][1]):
+                    b = zz[ci][by, bx]
+                    if ah == 0:
+                        _emit_ac_first(bw, b, tbl, ss, se, al)
+                    else:
+                        _emit_ac_refine(bw, b, tbl, ss, se, al)
+        sos = struct.pack(">B", len(comp_idx))
+        for ci in comp_idx:
+            tsel = 0x00 if ci == 0 else 0x11
+            sos += struct.pack(">BB", ci + 1, tsel)
+        sos += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        out += seg(0xFFDA, sos)
+        out += bw.flush()
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
@@ -430,9 +679,10 @@ def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (h, w, 3) uint8. Supports SOF0, 8-bit, 1 or 3
-    components, sampling factors ≤ 2, DRI/RSTn, any DQT/DHT tables carried
-    by the file."""
+    """JFIF bytes → (h, w, 3) uint8. Supports SOF0 (baseline) and SOF2
+    (progressive: spectral selection + successive approximation), 8-bit,
+    1 or 3 components, sampling factors ≤ 2, DRI/RSTn, any DQT/DHT tables
+    carried by the file."""
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
@@ -441,6 +691,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
+    progressive = False
+    prog_ready = False  # at least one scan decoded
 
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -461,6 +713,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             continue
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x00:  # stuffed FF00 inside stray data: not a marker
+            pos += 2
+            continue
         if pos + 4 > len(payload):
             raise ValueError("truncated JPEG: marker header cut short")
         seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
@@ -486,9 +741,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 codes = _canonical_codes(bits, vals)
                 htables[tc_th] = {(ln, code): sym for sym, (code, ln) in codes.items()}
                 i += 17 + nvals
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if len(body) < 6:
-                raise ValueError("truncated JPEG: SOF0 body cut short")
+                raise ValueError("truncated JPEG: SOF body cut short")
+            progressive = marker == 0xC2
             precision, h, w, nc = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -498,27 +754,42 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append({
                     "id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq,
                 })
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if progressive:
+                _init_prog_storage(comps, h, w)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"non-baseline SOF marker 0xFF{marker:02X} unsupported")
+            raise ValueError(f"unsupported SOF marker 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 raise ValueError("truncated JPEG: DRI body cut short")
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
+            scan_comps = []
             for si in range(ns):
                 cs, tables = body[1 + 2 * si], body[2 + 2 * si]
                 for c in comps:
                     if c["id"] == cs:
                         c["dc"] = tables >> 4
                         c["ac"] = tables & 0x0F
+                        scan_comps.append(c)
             scan_start = pos + 2 + seg_len
-            return _decode_scan(
-                payload, scan_start, comps, qtables, htables, h, w,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    payload, scan_start, comps, qtables, htables, h, w,
+                    restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            pos = _decode_scan_progressive(
+                payload, scan_start, scan_comps, comps, htables, h, w,
+                restart_interval, ss, se, ahal >> 4, ahal & 0x0F,
             )
+            prog_ready = True
+            continue
         pos += 2 + seg_len
+    if progressive and prog_ready:
+        return _finish_progressive(comps, qtables, h, w)
     raise ValueError("no SOS marker found")
 
 
@@ -591,6 +862,243 @@ def _decode_scan(data, pos, comps, qtables, htables, h, w, restart_interval):
     for c in comps:
         plane = c["coef"].transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
         # upsample to full resolution by replication
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding — T.81 Annex G
+# ---------------------------------------------------------------------------
+
+def _init_prog_storage(comps: list[dict], h: int, w: int) -> None:
+    """Per-component coefficient accumulators, sized to the interleaved
+    MCU grid (covers the non-interleaved grid too); coefficients live in
+    ZIGZAG index space because scans address spectral bands Ss..Se."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]
+        c["bh"] = mcus_y * c["v"]
+        # non-interleaved ("data unit") grid dims per A.2.2
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        c["nbw"] = -(-cw // 8)
+        c["nbh"] = -(-ch // 8)
+        c["cz"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int32)
+
+
+def _decode_scan_progressive(
+    data, pos, scan_comps, comps, htables, h, w, restart_interval,
+    ss, se, ah, al,
+):
+    """One progressive scan; mutates the components' coefficient arrays,
+    returns the stream position of the next marker."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive scan mixes DC and AC bands")
+        dc_scan = True
+    else:
+        dc_scan = False
+        if len(scan_comps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+    reader = _BitReader(data, pos)
+    state = {"eobrun": 0}
+
+    def handle_restart(unit_count):
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            reader.acc = 0
+            reader.nbits = 0
+            if reader.marker is None:
+                d, p = reader.data, reader.pos
+                if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+                    reader.marker = d[p + 1]
+            if reader.marker is not None and 0xD0 <= reader.marker <= 0xD7:
+                reader.sync_rst()
+            for c in scan_comps:
+                c["pred"] = 0
+            state["eobrun"] = 0
+
+    if dc_scan:
+        for c in scan_comps:
+            c["pred"] = 0
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        interleaved = len(scan_comps) > 1
+        if interleaved:
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            unit = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    handle_restart(unit)
+                    for c in scan_comps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                _dc_unit(
+                                    reader, c, my * c["v"] + by,
+                                    mx * c["h"] + bx, htables, ah, al,
+                                )
+                    unit += 1
+        else:
+            c = scan_comps[0]
+            unit = 0
+            for by in range(c["nbh"]):
+                for bx in range(c["nbw"]):
+                    handle_restart(unit)
+                    _dc_unit(reader, c, by, bx, htables, ah, al)
+                    unit += 1
+    else:
+        c = scan_comps[0]
+        ac_tbl = htables.get(0x10 | c["ac"])
+        if ac_tbl is None:
+            raise ValueError("AC scan references missing Huffman table")
+        unit = 0
+        for by in range(c["nbh"]):
+            for bx in range(c["nbw"]):
+                handle_restart(unit)
+                blk = c["cz"][by, bx]
+                if ah == 0:
+                    _ac_first_unit(reader, blk, ac_tbl, ss, se, al, state)
+                else:
+                    _ac_refine_unit(reader, blk, ac_tbl, ss, se, al, state)
+                unit += 1
+
+    # locate the next marker (skip the encoder's pad bits + stuffing)
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00,) and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return len(data)
+
+
+def _dc_unit(reader, c, by, bx, htables, ah, al):
+    blk = c["cz"][by, bx]
+    if ah == 0:  # first DC scan: diff-coded (DC >> Al)
+        dc_tbl = htables.get(0x00 | c["dc"])
+        if dc_tbl is None:
+            raise ValueError("DC scan references missing Huffman table")
+        s = _decode_huff(reader, dc_tbl)
+        diff = _receive_extend(reader, s)
+        c["pred"] += diff
+        blk[0] = c["pred"] << al
+    else:  # refinement: append bit Al (arithmetic-shift representation)
+        if reader.read_bit():
+            blk[0] |= 1 << al
+
+
+def _ac_first_unit(reader, blk, ac_tbl, ss, se, al, state):
+    """G.1.2.2: first scan of an AC band — run/size with EOBn runs;
+    values are sign-magnitude at approximation level Al."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            # EOBn: run of (1<<r) + extra-bits blocks ending at this one
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index overrun in progressive scan")
+        blk[k] = _receive_extend(reader, s) << al
+        k += 1
+
+
+def _ac_refine_unit(reader, blk, ac_tbl, ss, se, al, state):
+    """G.1.2.3: AC refinement — correction bits for history-nonzero
+    coefficients, sign-coded placement of newly-nonzero ones."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k):
+        # a set correction bit moves the coefficient one quantum away
+        # from zero, but only once per scan level (bit Al still clear)
+        if reader.read_bit() and (blk[k] & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    k = ss
+    if state["eobrun"] > 0:
+        # a previous block's EOB run covers this block entirely
+        state["eobrun"] -= 1
+        in_eob = True
+    else:
+        in_eob = False
+        while k <= se:
+            rs = _decode_huff(reader, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    # EOBn covers THIS block (swept below) + eobrun more
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    in_eob = True
+                    break
+                # ZRL: skip 16 zero-history coefficients (correcting
+                # nonzero ones along the way)
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan with size > 1")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if newval:
+                            blk[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+            else:
+                break
+    if in_eob:
+        # correction bits for the nonzero-history tail of this block
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+
+
+def _finish_progressive(comps, qtables, h, w):
+    """Accumulated zigzag coefficients → pixels: vectorized dequantize +
+    IDCT per component, then the shared upsample/assemble."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise ValueError("missing quantization table")
+        blocks = c["cz"][:, :, UNZIGZAG].reshape(c["bh"], c["bw"], 8, 8)
+        deq = blocks.astype(np.float64) * q.reshape(8, 8)
+        pix = np.einsum("ji,abjk,kl->abil", DCT_MAT, deq, DCT_MAT) + 128.0
+        c["coef"] = pix
+    planes = []
+    for c in comps:
+        plane = c["coef"].transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1:
             plane = np.repeat(plane, ry, axis=0)

@@ -313,9 +313,12 @@ def decode_features(payload: bytes, kind: str, strict: bool = False) -> list[flo
             return _fake_decode_features(payload, kind)
     if strict:
         raise NotImplementedError(
-            f"no in-container decoder for this payload (kind={kind}); "
-            "MP3/MP4 need audio/video codec libraries absent here — wire "
-            "one into decode_features (PPM/PNG/JPEG/WAV decode natively)"
+            f"no in-container sample decoder for this payload (kind={kind}). "
+            "PPM/PNG/JPEG/WAV decode natively; MP3/MP4 container METADATA "
+            "(duration/bitrate/sample rate/tracks) parses natively via "
+            "operators.mediameta.media_container_meta — but their SAMPLE "
+            "decode (MDCT/H.264) is declared permanently out of scope for "
+            "this container (needs librosa/ffmpeg; wire one in here)"
         )
     return _fake_decode_features(payload, kind)
 
@@ -346,9 +349,9 @@ def gen_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                     g = ((yy * (2 + m % 5)) % 256).astype(np.uint8)
                     b = ((xx + yy + m) % 256).astype(np.uint8)
                     px = np.stack([r, g, b], axis=-1)
-                    # rotate container formats PNG/JPEG/PPM — all three
-                    # real-decodable end-to-end (JPEG via the baseline
-                    # JFIF codec in operators/jpeg.py)
+                    # rotate container formats PNG/JPEG/PPM — all
+                    # real-decodable end-to-end (JPEG via the from-scratch
+                    # codec in operators/jpeg.py)
                     if mid % 9 == 0:
                         payload = encode_png(px)
                     elif mid % 9 == 6:
@@ -361,6 +364,18 @@ def gen_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                             px,
                             quality=90,
                             subsampling="420" if mid % 18 == 6 else "444",
+                        )
+                    elif mid % 18 == 3:
+                        # progressive (SOF2) rows — what real crawls
+                        # mostly carry (round 5); alternate subsampling.
+                        # Image mids are multiples of 3, so the remaining
+                        # mid % 18 == 12 class keeps carrying PPM rows
+                        from .jpeg import encode_jpeg_progressive
+
+                        payload = encode_jpeg_progressive(
+                            px,
+                            quality=90,
+                            subsampling="420" if mid % 36 == 3 else "444",
                         )
                     else:
                         payload = encode_ppm(px)

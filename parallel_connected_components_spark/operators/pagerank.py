@@ -40,6 +40,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     init_ranks: DataFrame | None = None,
+    assume_pinned: bool = False,
 ) -> tuple[DataFrame, FixpointRunner]:
     """→ (ranks(vertex long, rank double), runner). ``edges`` is directed.
 
@@ -70,11 +71,25 @@ def pagerank(
       aggregation. Without it the map-side partial aggregation sees ~|V|
       distinct keys per task with multiplicity < 1 — a giant hash table
       that combines nothing; after the exchange each task owns its keys
-      and the partial agg combines at full in-degree multiplicity."""
-    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
-    verts = vertices_of(e).localCheckpoint(eager=True)
-    n = verts.count()
-    e, n_part = pin_edges(spark, e)
+      and the partial agg combines at full in-degree multiplicity.
+
+    ``assume_pinned=True`` (round 5, for the streaming fold): the caller
+    guarantees ``edges`` is already (src, dst)-deduped, hash-partitioned
+    on src, and persisted — the dedup shuffle and :func:`pin_edges` are
+    skipped and the table is NOT unpersisted on return (the caller owns
+    its lifecycle). This is what makes the incremental fold's edge pass
+    delta-proportional: the accumulated table is pinned once and reused
+    across folds instead of re-shuffled per fold."""
+    if assume_pinned:
+        e = edges
+        n_part = e.rdd.getNumPartitions()
+        verts = vertices_of(e).localCheckpoint(eager=True)
+        n = verts.count()
+    else:
+        e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+        verts = vertices_of(e).localCheckpoint(eager=True)
+        n = verts.count()
+        e, n_part = pin_edges(spark, e)
     outdeg = e.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("outdeg"))
     # vertex table with outdeg (0 for dangling), reused every iteration
     vo = (
@@ -176,7 +191,8 @@ def pagerank(
         return (0 if delta < tol else 1), {"l1_delta": delta}
 
     final = runner.run(init.withColumn("prev_rank", F.col("rank")), step, converged, resume=resume)
-    e.unpersist()
+    if not assume_pinned:
+        e.unpersist()
     return final.select("vertex", "rank"), runner
 
 

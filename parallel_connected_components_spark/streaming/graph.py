@@ -163,7 +163,7 @@ def incremental_cc_stream(
 # ~3x fewer iterations for a 5% edge delta, tests/test_streaming.py).
 # ---------------------------------------------------------------------------
 
-def _rescale_by_component(spark, all_edges, prev: DataFrame) -> DataFrame:
+def _rescale_by_component(spark, labels: DataFrame, prev: DataFrame) -> DataFrame:
     """Fix the warm start's slow mode: on a multi-component graph the
     teleporting chain moves mass BETWEEN components only at the damping
     rate, so a warm init whose per-component mass is off by ε needs
@@ -174,10 +174,12 @@ def _rescale_by_component(spark, all_edges, prev: DataFrame) -> DataFrame:
     Rescaling each component's warm mass to its uniform share n_c/n
     keeps the good intra-component shape while starting the slow mode
     where uniform starts it — warm is then ≤ cold by construction.
-    One CC + two aggregations per fold, cheap next to the rounds saved."""
-    from ..operators.cc import cc_two_phase
 
-    labels, _ = cc_two_phase(spark, all_edges)
+    ``labels`` is the CURRENT component labeling — round 5: supplied by
+    the incremental CC state (per-fold cost O(batch)) instead of a full
+    :func:`cc_two_phase` over the accumulated edges per fold (O(|E|) + a
+    CC, the last non-delta-proportional piece of the fold). Two
+    aggregations, cheap next to the rounds saved."""
     labels = labels.localCheckpoint(eager=True)
     n = labels.count()
     cur = labels.join(prev, "vertex", "left").select(
@@ -195,6 +197,57 @@ def _rescale_by_component(spark, all_edges, prev: DataFrame) -> DataFrame:
     )
 
 
+# In-session pinned edge state per state_dir: the accumulated canonical
+# edge table, hash-partitioned on src and persisted ONCE, extended by each
+# fold's genuinely-new edges — the pin-once discipline of the batch loop
+# applied across folds (round-5 VERDICT item 6; previously every fold
+# re-read and re-deduped the full accumulated set, then pagerank re-pinned
+# it: three O(|E|) shuffles per fold). Invalidated when the on-disk
+# committed fold count does not match (another process advanced the
+# state, or this is a fresh driver).
+_PR_EDGE_CACHE: dict[str, dict] = {}
+
+
+def _pr_efold_versions(state_dir: str) -> list[int]:
+    out = []
+    if not os.path.isdir(state_dir):
+        return out
+    for name in os.listdir(state_dir):
+        if name.startswith("efold_v") and name[7:].isdigit() and os.path.exists(
+            os.path.join(state_dir, name, "meta.json")
+        ):
+            out.append(int(name[7:]))
+    return sorted(out)
+
+
+def _pr_pinned_edges(spark: SparkSession, state_dir: str):
+    """(pinned edges df | None, n_part, committed fold versions)."""
+    vs = _pr_efold_versions(state_dir)
+    cached = _PR_EDGE_CACHE.get(state_dir)
+    if cached is not None and cached["versions"] == vs and cached["session"] is spark:
+        return cached["df"], cached["n_part"], vs
+    if cached is not None:
+        try:
+            cached["df"].unpersist()
+        except Exception:  # noqa: BLE001 — stale session/df
+            pass
+        _PR_EDGE_CACHE.pop(state_dir, None)
+    n_part = spark.sparkContext.defaultParallelism
+    if not vs:
+        return None, n_part, vs
+    paths = [os.path.join(state_dir, f"efold_v{v}", "edges") for v in vs]
+    df = (
+        spark.read.parquet(*paths)
+        .repartition(n_part, "src")
+        .persist()
+    )
+    df.count()
+    _PR_EDGE_CACHE[state_dir] = {
+        "df": df, "n_part": n_part, "versions": vs, "session": spark
+    }
+    return df, n_part, vs
+
+
 def update_pagerank_state(
     spark: SparkSession,
     batch_edges: DataFrame,
@@ -203,34 +256,93 @@ def update_pagerank_state(
     tol: float = 1e-6,
     max_iterations: int = 100,
 ) -> int:
-    """Fold one directed-edge batch: append to the accumulated edge set,
-    recompute ranks warm-started from the previous snapshot (with the
-    per-component mass correction). → number of power iterations this
-    fold needed."""
+    """Fold one directed-edge batch: extend the pinned canonical edge
+    state by the batch's genuinely-new edges, update the incremental CC
+    labeling, recompute ranks warm-started from the previous snapshot
+    (with the per-component mass correction). → number of power
+    iterations this fold needed.
+
+    Per-fold edge-pass cost (round 5): the delta is deduped against the
+    pinned state with two broadcast map-side joins (no shuffle of the
+    accumulated table), appended as one versioned commit, and the pinned
+    table is extended with a single exchange; the PageRank loop then runs
+    ``assume_pinned`` so nothing re-deduplicates or re-pins O(|E|) per
+    fold. Replay-safe: a retried batch deduplicates to an empty delta and
+    the rank recompute is idempotent."""
+    import json as _json
+    import shutil as _shutil
+
     from ..operators.pagerank import pagerank
 
     os.makedirs(state_dir, exist_ok=True)
-    edges_dir = os.path.join(state_dir, "edges")
-    batch_edges.select(
-        F.col("src").cast("long"), F.col("dst").cast("long")
-    ).write.mode("append").parquet(edges_dir)
-    all_edges = spark.read.parquet(edges_dir).dropDuplicates(["src", "dst"])
+    delta = (
+        batch_edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    pinned, n_part, vs = _pr_pinned_edges(spark, state_dir)
+    if pinned is None:
+        new = delta
+    else:
+        # broadcast the (small) delta both ways: the accumulated table is
+        # scanned from cache map-side, never exchanged
+        matched = pinned.join(F.broadcast(delta), ["src", "dst"], "left_semi")
+        new = delta.join(F.broadcast(matched), ["src", "dst"], "left_anti")
+    new = new.localCheckpoint(eager=True)
+    n_new = new.count()
+
+    if n_new:
+        next_v = (vs[-1] + 1) if vs else 0
+        vdir = os.path.join(state_dir, f"efold_v{next_v}")
+        if os.path.isdir(vdir):  # crashed uncommitted fold: overwrite
+            _shutil.rmtree(vdir)
+        new.write.mode("overwrite").parquet(os.path.join(vdir, "edges"))
+        tmp = os.path.join(vdir, "meta.json.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            _json.dump({"new_edges": n_new}, f)
+        os.replace(tmp, os.path.join(vdir, "meta.json"))
+        vs = vs + [next_v]
+        if pinned is None:
+            grown = new.repartition(n_part, "src").persist()
+        else:
+            # one exchange over the union; localCheckpoint FIRST would
+            # drop partitioning (UnknownPartitioning), so truncate via
+            # the persisted parents instead — lineage depth stays O(1)
+            # because `pinned` is materialized and `new` checkpointed
+            grown = pinned.union(new).repartition(n_part, "src").persist()
+        grown.count()
+        old = _PR_EDGE_CACHE.pop(state_dir, None)
+        _PR_EDGE_CACHE[state_dir] = {
+            "df": grown, "n_part": n_part, "versions": vs, "session": spark
+        }
+        if old is not None:
+            try:
+                old["df"].unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+        pinned = grown
+        # incremental CC labeling keeps the rescale delta-proportional
+        update_cc_state(spark, new, os.path.join(state_dir, "cc"))
+
+    if pinned is None:  # first-ever fold carried zero (new) edges
+        os.makedirs(os.path.join(state_dir, "ranks"), exist_ok=True)
+        return 0
 
     prev = None
-    vs = _versions(os.path.join(state_dir, "ranks"))
-    if vs:
+    rv = _versions(os.path.join(state_dir, "ranks"))
+    if rv:
         prev = _rescale_by_component(
             spark,
-            all_edges,
-            spark.read.parquet(os.path.join(state_dir, "ranks", f"v{vs[-1]}")),
+            cc_state_labels(spark, os.path.join(state_dir, "cc")),
+            spark.read.parquet(os.path.join(state_dir, "ranks", f"v{rv[-1]}")),
         )
     ranks, runner = pagerank(
-        spark, all_edges, damping=damping, tol=tol,
-        max_iterations=max_iterations, init_ranks=prev,
+        spark, pinned, damping=damping, tol=tol,
+        max_iterations=max_iterations, init_ranks=prev, assume_pinned=True,
     )
-    next_v = (vs[-1] + 1) if vs else 0
+    next_rv = (rv[-1] + 1) if rv else 0
     ranks.write.mode("overwrite").parquet(
-        os.path.join(state_dir, "ranks", f"v{next_v}")
+        os.path.join(state_dir, "ranks", f"v{next_rv}")
     )
     return runner.num_iterations
 

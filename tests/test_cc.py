@@ -232,3 +232,91 @@ def test_label_prop_prune_resume_invariant(spark, tmp_path):
     )
     assert runner.metrics[0].iteration > 0  # genuinely resumed
     assert labels_dict(labels) == union_find_oracle(chain)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 vectorized local-CC kernel (_numpy_cc_kernel): must reproduce the
+# sequential union-find oracle exactly on every id-space shape, including
+# the sparse-64-bit-id fallback path and the dense/sparse boundary.
+# ---------------------------------------------------------------------------
+
+def _kernel_vs_oracle(edges):
+    import numpy as np
+
+    from parallel_connected_components_spark.operators.cc import (
+        _numpy_cc_kernel,
+        union_find_oracle,
+    )
+
+    src = np.array([e[0] for e in edges], dtype=np.int64)
+    dst = np.array([e[1] for e in edges], dtype=np.int64)
+    nodes, roots = _numpy_cc_kernel(src, dst)
+    want = union_find_oracle(edges)
+    got = dict(zip(nodes.tolist(), roots.tolist()))
+    assert got == want, (sorted(got.items())[:5], sorted(want.items())[:5])
+
+
+def test_numpy_kernel_matches_oracle_dense_random():
+    import random
+
+    rng = random.Random(421)
+    for trial in range(10):
+        n = rng.randrange(2, 400)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(1, 3 * n))
+        ]
+        _kernel_vs_oracle(edges)
+
+
+def test_numpy_kernel_matches_oracle_sparse_64bit_ids():
+    """Hash-random id space (embedding fingerprints): span >> 8x edges
+    forces the unique+searchsorted fallback."""
+    import random
+
+    rng = random.Random(99)
+    ids = [rng.randrange(1, 1 << 62) for _ in range(300)]
+    edges = [
+        (ids[rng.randrange(len(ids))], ids[rng.randrange(len(ids))])
+        for _ in range(500)
+    ]
+    _kernel_vs_oracle(edges)
+
+
+def test_numpy_kernel_long_chain_and_star():
+    # chain: worst case for hooking depth; star: worst case for hub fanout
+    chain = [(i + 1, i) for i in range(2000)]
+    _kernel_vs_oracle(chain)
+    star = [(0, i) for i in range(1, 2000)]
+    _kernel_vs_oracle(star)
+    # chain with reversed orientation + shuffled order
+    import random
+
+    rev = [(i, i + 1) for i in range(2000)]
+    random.Random(5).shuffle(rev)
+    _kernel_vs_oracle(rev)
+
+
+def test_numpy_kernel_self_loops_and_empty():
+    import numpy as np
+
+    from parallel_connected_components_spark.operators.cc import _numpy_cc_kernel
+
+    nodes, roots = _numpy_cc_kernel(
+        np.array([7, 7], dtype=np.int64), np.array([7, 7], dtype=np.int64)
+    )
+    assert len(nodes) == 0 and len(roots) == 0
+    nodes, roots = _numpy_cc_kernel(
+        np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    )
+    assert len(nodes) == 0
+
+
+def test_numpy_kernel_dense_sparse_boundary():
+    """Edges whose span sits exactly around the 8x+1024 dense cutoff give
+    identical labels through either compaction path."""
+    # 100 edges, span ~1824 (dense) and span ~3000000 (sparse), same topology
+    base_edges = [(2 * i, 2 * i + 2) for i in range(100)]
+    _kernel_vs_oracle(base_edges)
+    stretched = [(30000 * u, 30000 * v) for u, v in base_edges]
+    _kernel_vs_oracle(stretched)

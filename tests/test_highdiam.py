@@ -98,7 +98,7 @@ def test_cc_auto_takes_lp_path_on_web_graph(spark):
 @pytest.mark.parametrize("shortcut_every", [0, 7])
 def test_cc_auto_switches_and_is_exact_on_grids(spark, shortcut_every):
     # 3 disjoint 12x10 grids (+ optional shortcuts): the hybrid must take
-    # the lp+stars hand-off AND produce the exact min-id labeling — the
+    # the lp+two_phase hand-off AND produce the exact min-id labeling — the
     # reference's cross-algorithm differential check
     # (/root/reference/benchmarks/benchmark_sequential.c:81-98) applied to
     # the hand-off composition.
@@ -106,8 +106,8 @@ def test_cc_auto_switches_and_is_exact_on_grids(spark, shortcut_every):
     raw = gen_grid_edges(spark, w, h, num_grids=g, shortcut_every=shortcut_every)
     edges = symmetrize(raw)
     labels, info = cc_auto(spark, edges)
-    assert info["algorithm"] == "lp+stars"
-    assert info["lp_iterations"] + info["stars_iterations"] > 0
+    assert info["algorithm"] == "lp+two_phase"
+    assert info["lp_iterations"] + info["finish_iterations"] > 0
     got = _labels_dict(labels)
     assert len(got) == g * w * h
     for v, lab in got.items():
@@ -119,7 +119,7 @@ def test_cc_auto_matches_lp_full_run_on_grid(spark):
     edges = symmetrize(gen_grid_edges(spark, 9, 9, num_grids=2))
     hybrid, info = cc_auto(spark, edges)
     plain, _ = cc_label_propagation(spark, edges)
-    assert info["algorithm"] == "lp+stars"
+    assert info["algorithm"] == "lp+two_phase"
     assert _labels_dict(hybrid) == _labels_dict(plain)
 
 
@@ -184,3 +184,99 @@ def test_two_phase_range_partitioning_exact(spark):
             assert lab == expected_grid_component_of(v, 25, 20), (mode, v)
     with pytest.raises(ValueError):
         cc_two_phase(spark, edges, partition_by="zorder")
+
+
+def test_edge_locality_estimator_separates_regimes(spark):
+    """The auto partition selector's signal: near-1 on spatially-numbered
+    grids, near-1/num_ranges on hash-random id spaces."""
+    from parallel_connected_components_spark.operators.cc import (
+        estimate_edge_locality,
+    )
+
+    grid = gen_grid_edges(spark, 40, 40, num_grids=2)
+    loc_grid, info = estimate_edge_locality(grid, num_ranges=8)
+    assert loc_grid > 0.8, (loc_grid, info)
+    # same topology, ids scattered by a hash-like permutation
+    scattered = grid.select(
+        (F.xxhash64("src") % 1000003).alias("src"),
+        (F.xxhash64("dst") % 1000003).alias("dst"),
+    )
+    loc_rand, _ = estimate_edge_locality(scattered, num_ranges=8)
+    assert loc_rand < 0.4, loc_rand
+    # empty input: defined, no division error
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert estimate_edge_locality(empty, num_ranges=8)[0] == 0.0
+
+
+def test_two_phase_auto_partition_selection(spark):
+    """partition_by="auto" picks range on id-local graphs and hash on
+    scattered ids, records the decision, and stays exact either way."""
+    from parallel_connected_components_spark.operators.cc import cc_two_phase
+
+    grid = gen_grid_edges(spark, 25, 20, num_grids=2)
+    labels, runner = cc_two_phase(spark, grid, partition_by="auto")
+    assert runner.partition_info["selected"] == "range", runner.partition_info
+    got = _labels_dict(labels)
+    for v, lab in got.items():
+        assert lab == expected_grid_component_of(v, 25, 20)
+
+    import random
+
+    rng = random.Random(17)
+    perm = list(range(1000))
+    rng.shuffle(perm)
+    scattered_rows = [
+        (min(perm[r["src"]], perm[r["dst"]]), max(perm[r["src"]], perm[r["dst"]]))
+        for r in grid.collect()
+    ]
+    scattered = spark.createDataFrame(scattered_rows, "src long, dst long")
+    labels2, runner2 = cc_two_phase(spark, scattered, partition_by="auto")
+    assert runner2.partition_info["selected"] == "hash", runner2.partition_info
+    # exactness on the scattered ids too (vs the oracle)
+    uf = union_find_oracle(scattered_rows)
+    got2 = _labels_dict(labels2)
+    assert got2 == {v: uf.get(v, v) for v in got2}
+
+
+def test_cc_auto_escape_records_partition_selection(spark):
+    """The high-diameter escape finishes with two-phase under auto
+    partition selection; on grids the contracted label graph keeps id
+    locality, so the selector must pick range there."""
+    edges = symmetrize(gen_grid_edges(spark, 30, 25, num_grids=2))
+    labels, info = cc_auto(spark, edges)
+    assert info["algorithm"] == "lp+two_phase"
+    # partition_info is None when the contracted graph converged inside
+    # LP already; on this grid the stall fires with work left, so the
+    # finish phase ran the selector
+    assert info["partition_info"] is not None
+    assert info["partition_info"]["selected"] in ("range", "hash")
+    got = _labels_dict(labels)
+    for v, lab in got.items():
+        assert lab == expected_grid_component_of(v, 30, 25)
+
+
+def test_edge_locality_full_range_64bit_ids(spark):
+    """edges_from_pages vertex ids are raw xxhash64 values spanning the
+    whole int64 range: (id - min) overflows under ANSI mode — the
+    estimator must survive via its double path (round-5 verify catch)."""
+    from parallel_connected_components_spark.operators.cc import (
+        cc_two_phase,
+        estimate_edge_locality,
+    )
+
+    rows = [
+        (-9186790574287193604, 9208639692247642349),
+        (-9186790574287193604, 123456789),
+        (55, 9208639692247642349),
+        (-5000000000000000000, 5000000000000000000),
+    ]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    loc, info = estimate_edge_locality(edges, num_ranges=8)
+    assert 0.0 <= loc <= 1.0
+    labels, runner = cc_two_phase(spark, edges, partition_by="auto")
+    assert runner.partition_info["selected"] == "hash"
+    from parallel_connected_components_spark.operators.cc import union_find_oracle
+
+    uf = union_find_oracle(rows)
+    got = {r["vertex"]: r["label"] for r in labels.collect()}
+    assert got == {v: uf.get(v, v) for v in got}

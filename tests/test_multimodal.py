@@ -256,9 +256,11 @@ def test_frame_sampling(spark):
 
 
 def test_decode_features_nonstrict_falls_back_on_undecodable_jpeg():
-    # a progressive (SOF2) JPEG carries the JPEG magic but the baseline
-    # codec can't decode it: non-strict must degrade to the deterministic
-    # fake instead of failing the whole stage; strict must raise
+    # a malformed file carrying the JPEG magic (here: SOF2 header glued to
+    # a baseline Ss=0..63 scan — illegal in progressive) can't decode:
+    # non-strict must degrade to the deterministic fake instead of failing
+    # the whole stage; strict must raise. (Well-formed SOF2 decodes for
+    # real since round 5.)
     import pytest as _pytest
 
     from parallel_connected_components_spark.operators.jpeg import encode_jpeg
@@ -276,3 +278,99 @@ def test_decode_features_nonstrict_falls_back_on_undecodable_jpeg():
     assert got == _fake_decode_features(payload, "image")
     with _pytest.raises(Exception):
         decode_features(payload, "image", strict=True)
+
+
+# ---------------------------------------------------------------------------
+# MP3/MP4 container metadata (round 5, operators/mediameta.py): header
+# parsing only — sample decode is permanently out of scope (strict gate).
+# ---------------------------------------------------------------------------
+
+def test_mp3_roundtrip_and_id3():
+    from parallel_connected_components_spark.operators.mediameta import (
+        encode_mp3,
+        mp3_metadata,
+    )
+
+    m = mp3_metadata(encode_mp3(25, 96, 32000))
+    assert m == {
+        "container": "mp3", "version": 1.0, "sample_rate": 32000,
+        "frames": 25, "duration_ms": 900, "bitrate_kbps": 96,
+    }
+    # ID3v2 prefix skipped via sync-safe size
+    m2 = mp3_metadata(encode_mp3(10, 64, 32000, id3_pad=321))
+    assert m2["frames"] == 10 and m2["bitrate_kbps"] == 64
+    # non-32k rate (non-integral ms per frame)
+    m3 = mp3_metadata(encode_mp3(38, 128, 44100))
+    assert m3["sample_rate"] == 44100 and m3["frames"] == 38
+    assert m3["duration_ms"] == 38 * 1152 * 1000 // 44100
+
+
+def test_mp3_rejects_garbage_and_truncation():
+    import pytest as _pytest
+
+    from parallel_connected_components_spark.operators.mediameta import (
+        encode_mp3,
+        mp3_metadata,
+    )
+
+    for bad in (b"", b"garbage" * 64, b"\xFF\xFB\x00"):
+        with _pytest.raises(ValueError):
+            mp3_metadata(bad)
+    # truncated final frame is excluded, count drops by one
+    p = encode_mp3(5, 64, 32000)
+    assert mp3_metadata(p[:-10])["frames"] == 4
+
+
+def test_mp4_roundtrip_v0_v1_and_rejects():
+    import pytest as _pytest
+
+    from parallel_connected_components_spark.operators.mediameta import (
+        encode_mp4,
+        mp4_metadata,
+    )
+
+    m = mp4_metadata(encode_mp4(61500, tracks=2, mvhd_version=0))
+    assert m == {
+        "container": "mp4", "major_brand": "isom", "timescale": 1000,
+        "duration_ms": 61500, "tracks": 2,
+    }
+    m1 = mp4_metadata(encode_mp4(123456, tracks=1, mvhd_version=1, brand="mp42"))
+    assert m1["duration_ms"] == 123456 and m1["major_brand"] == "mp42"
+    # non-ms timescale still converts exactly
+    m2 = mp4_metadata(encode_mp4(2000, timescale=90000))
+    assert m2["duration_ms"] == 2000 and m2["timescale"] == 90000
+    for bad in (b"", b"\x00\x00\x00\x08ftypabcd", b"not a box at all!!"):
+        with _pytest.raises(ValueError):
+            mp4_metadata(bad)
+
+
+def test_media_container_meta_operator(spark):
+    from parallel_connected_components_spark.operators.mediameta import (
+        gen_media_av,
+        media_container_meta,
+    )
+
+    media = gen_media_av(spark, 40, seed=11)
+    got = {r["media_id"]: r.asDict() for r in media_container_meta(media).collect()}
+    meta = {r["media_id"]: r.asDict() for r in media.collect()}
+    assert len(got) == 40  # every row parses (no silent drops)
+    for mid, row in got.items():
+        assert row["duration_ms"] == meta[mid]["duration_ms"], (mid, row)
+        if row["container"] == "mp3":
+            assert row["sample_rate"] == 32000
+            assert row["frames"] == meta[mid]["duration_ms"] // 36
+            assert row["bitrate_kbps"] in (64, 96, 128, 160)
+        else:
+            assert row["tracks"] == 1 + mid % 2
+            assert row["major_brand"] == "isom"
+
+
+def test_strict_gate_mentions_mediameta():
+    import pytest as _pytest
+
+    from parallel_connected_components_spark.operators.multimodal import (
+        decode_features,
+    )
+
+    with _pytest.raises(NotImplementedError, match="media_container_meta"):
+        decode_features(b"\x00\x00\x00\x14ftypisomwhatever????", "video", strict=True)
