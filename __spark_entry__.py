@@ -8,7 +8,7 @@ degree/component stats, triangles, PageRank, LPA) plus the
 training-data ops (token/quality/lang/fingerprint, exact + MinHash +
 SimHash + n-gram-Jaccard dedup incl. end-to-end dup_clusters,
 brute-force kNN, real PPM/PNG/JPEG/WAV multimodal decode, events
-windows, TPC-H-style star joins). 44 queries, 44 exact DuckDB oracles.
+windows, TPC-H-style star joins, MP3/MP4 container metadata). 45 queries, 45 exact DuckDB oracles.
 """
 
 from __future__ import annotations

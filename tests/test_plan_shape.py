@@ -124,3 +124,36 @@ def test_dedup_pair_generation_never_cross_joins(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pr_fold_dedup_is_broadcast_map_side(spark):
+    """The incremental-PageRank fold's delta dedup (round 5): both joins
+    against the accumulated pinned edge table must execute as
+    BroadcastHashJoins with the DELTA as the broadcast side — the pinned
+    state is scanned from cache, never exchanged, which is what makes the
+    per-fold edge pass delta-proportional (streaming/graph.py
+    update_pagerank_state)."""
+    pinned = (
+        spark.range(50000)
+        .select((F.col("id") % 4000).alias("src"), ((F.col("id") * 13) % 4000).alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition(8, "src")
+        .persist()
+    )
+    pinned.count()
+    delta = spark.range(200).select(
+        (F.col("id") % 4000).alias("src"), ((F.col("id") * 31) % 4000).alias("dst")
+    ).localCheckpoint(eager=True)
+    matched = pinned.join(F.broadcast(delta), ["src", "dst"], "left_semi")
+    new = delta.join(F.broadcast(matched), ["src", "dst"], "left_anti")
+    plan = executed_plan(new)
+    assert "BroadcastHashJoin" in plan, plan
+    # neither join may shuffle the big table: no shuffle-keyed exchange
+    # of the pinned side inside this plan (the only allowed exchange is
+    # none — broadcast distributions only)
+    assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan, plan
+    # and the semi-join side too
+    plan_m = executed_plan(matched)
+    assert "BroadcastHashJoin" in plan_m, plan_m
+    assert "ShuffledHashJoin" not in plan_m and "SortMergeJoin" not in plan_m, plan_m
+    pinned.unpersist()
