@@ -74,8 +74,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--two-phase-range",
         action="store_true",
-        help="range-partition the two_phase local-UF pass (exploits "
-        "spatial vertex numbering; see BENCH/BASELINE.md highdiam notes)",
+        help="force range partitioning for the two_phase local-UF pass "
+        "(equivalent to --two-phase-partition range; kept for "
+        "compatibility)",
+    )
+    p.add_argument(
+        "--two-phase-partition",
+        choices=["auto", "hash", "range"],
+        default="auto",
+        help="two_phase local-UF partitioning: auto (default) samples "
+        "edge locality and picks — range wins ~1.7x wall / 5.4x merge "
+        "shuffle on spatially-numbered ids (road networks), hash on "
+        "scattered ids (see BENCH/BASELINE.md highdiam notes)",
     )
     p.add_argument(
         "--algorithm",
@@ -161,8 +171,14 @@ def main(argv: list[str] | None = None) -> int:
                 labels, runner = cc_two_phase(
                     spark, edges, vertices=verts, checkpoint_dir=args.checkpoint_dir,
                     max_iterations=args.max_iterations,
-                    partition_by="range" if args.two_phase_range else "hash",
+                    partition_by=(
+                        "range" if args.two_phase_range
+                        else args.two_phase_partition
+                    ),
                 )
+                pinfo = getattr(runner, "partition_info", None)
+                if pinfo:
+                    out["partition_info"] = pinfo
             out["algorithm"] = args.algorithm
             out["num_components"] = count_components(labels)
             out["iterations"] = runner.num_iterations

@@ -507,7 +507,11 @@ def cc_afforest(
       smallest neighbors per vertex via r chained MIN aggregations (no
       per-vertex sort, partial agg bounds hub keys), then the sampled
       subgraph (≤ sample_rounds·|V| edges, independent of |E|) is fully
-      resolved with alternating stars. On power-law graphs this cheap
+      resolved with :func:`cc_two_phase` (round 5: the vectorized
+      local-UF contraction + driver/star merge resolves the ≤2|V|-edge
+      subgraph in one pass — measured 1.7 s vs 7.1 s for alternating
+      stars' ~5 join rounds on the 700k-edge bench graph; labels are the
+      same min-id fixpoint either way). On power-law graphs this cheap
       pass already collapses most of the giant component.
 
     giant detection (cc_openmp.c:422-496): ~num_samples random vertices
@@ -549,7 +553,7 @@ def cc_afforest(
             .agg(F.min("dst").alias("dst"))
         )
         sampled = sampled.union(picked)
-    labels_a, runner = cc_alternating_stars(
+    labels_a, runner = cc_two_phase(
         spark,
         sampled,
         vertices=None,
