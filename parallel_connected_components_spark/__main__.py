@@ -50,8 +50,14 @@ def _load_edges(spark, args):
     if args.edges:
         return spark.read.parquet(args.edges), None
     if args.mtx:
-        edges, _ = read_mtx(spark, args.mtx)
-        return edges, None
+        edges, header = read_mtx(spark, args.mtx)
+        # The reference allocates all n vertices from the MTX header
+        # (graph_create over mtx dims, /root/reference/src/main.c), so
+        # isolated vertices count as singleton components and receive
+        # PageRank teleport mass. Deriving vertices from edges would
+        # silently drop them — materialize the header's 0..n-1 range.
+        verts = spark.range(header["num_vertices"]).select("id")
+        return edges, verts
     raise SystemExit("one of --pages/--edges/--mtx is required")
 
 

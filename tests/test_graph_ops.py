@@ -119,6 +119,29 @@ def test_reference_test_small_mtx_direct(spark):
     assert labels_dict(labels) == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
 
 
+def test_mtx_isolated_vertices_counted_via_header(spark, tmp_path):
+    """The reference allocates all n header vertices (graph_create over
+    mtx dims), so an edge-less vertex is a singleton component. The CLI
+    loader must surface the header range as the vertex set — deriving
+    vertices from edges would drop vertex 6 here."""
+    import argparse
+
+    from parallel_connected_components_spark.__main__ import _load_edges
+    from parallel_connected_components_spark.operators import count_components
+
+    path = os.path.join(tmp_path, "iso.mtx")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern symmetric\n")
+        f.write("7 7 5\n2 1\n3 2\n4 3\n6 5\n5 6\n")
+    args = argparse.Namespace(pages=None, edges=None, mtx=path)
+    edges, verts = _load_edges(spark, args)
+    assert verts is not None and verts.count() == 7
+    labels, _ = cc_two_phase(spark, edges, vertices=verts)
+    got = labels_dict(labels)
+    assert got[6] == 6  # isolated vertex is its own component
+    assert count_components(labels) == 3
+
+
 def test_giant_component_sample_and_exclusion(spark):
     # skew fixture: one giant component (90 vertices) + 5 small ones
     edge_list = [(i, i + 1) for i in range(89)] + [
