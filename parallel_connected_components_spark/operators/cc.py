@@ -390,7 +390,10 @@ def cc_two_phase(
     the MPI UF (local pass, then only cross-partition (root, root) edges
     travel, /root/reference/src/mpi/cc_mpi.c:2018-2341).
 
-    ``partition_by``: "hash" (default) or "range". Contraction quality is
+    ``partition_by``: "hash" (default), "range", "auto" (sample edge
+    locality and pick), or "pre" (input is already partitioned — e.g. a
+    bucketed canonical table — phase 1 runs with zero exchange).
+    Contraction quality is
     entirely a function of how much of the graph is partition-LOCAL:
     hash partitioning scatters ids, so on hash-random vertex ids the
     local pass barely contracts (round-2 measurement: 18M → 16.5M).
@@ -430,9 +433,18 @@ def cc_two_phase(
         parted = canon.repartitionByRange(n, "src")
     elif partition_by == "hash":
         parted = canon.repartition(n, "src")
+    elif partition_by == "pre":
+        # Caller already laid the edges out (a bucketed canonical table,
+        # sources/bucketed.py, or any deliberate partitioning): the local
+        # pass reads partitions as-is — zero exchange in phase 1. Pair
+        # with assume_canonical=True, else the canonicalize dedup above
+        # re-shuffles anyway and "pre" buys nothing. Contraction quality
+        # is whatever the caller's layout gives (bucketed-by-src ≈ hash).
+        parted = canon
     else:
         raise ValueError(
-            f"partition_by must be 'hash', 'range' or 'auto', got {partition_by!r}"
+            f"partition_by must be 'hash', 'range', 'auto' or 'pre', "
+            f"got {partition_by!r}"
         )
     contracted = (
         parted
@@ -643,6 +655,7 @@ def cc_label_propagation(
     stall_ratio: float = 0.6,
     stall_min_iterations: int = 5,
     raise_on_cap: bool = True,
+    assume_pinned: bool = False,
 ) -> tuple[DataFrame, FixpointRunner]:
     """Jacobi-style min-label propagation
     (label_propagation_sync_omp, /root/reference/src/cc_openmp.c:38-142;
@@ -712,8 +725,15 @@ def cc_label_propagation(
     changed_history: list[int] = []
     # edges partitioned on src once; per-iteration shuffle moves only the
     # (shrinking) frontier labels — see pagerank() for the plan-shape
-    # rationale (ghost-exchange + post-exchange aggregation)
-    e0, n_part = pin_edges(spark, edges_sym)  # (already materialized)
+    # rationale (ghost-exchange + post-exchange aggregation).
+    # ``assume_pinned=True``: the caller guarantees edges_sym is already
+    # symmetrized, deduped, src-partitioned, and persisted (a pinned
+    # repartition or a bucketed table scan, sources/bucketed.py) — the
+    # pin exchange is skipped and the table is NOT unpersisted on return.
+    if assume_pinned:
+        e0, n_part = edges_sym, edges_sym.rdd.getNumPartitions()
+    else:
+        e0, n_part = pin_edges(spark, edges_sym)  # (already materialized)
     live_edges = {"df": e0, "count": e0.count(), "prune_on": bool(prune_every)}
     # Frontier invariant: every live edge must have carried its source's
     # CURRENT label at least once. Edges added by a prune rewrite violate
@@ -881,7 +901,8 @@ def cc_label_propagation(
         # when no snapshot exists: the fresh init is all-changed anyway)
         pending_senders["df"] = verts.select(F.col("id").alias("vertex"))
     final = runner.run(init, step, converged, resume=resume)
-    e0.unpersist()
+    if not assume_pinned:
+        e0.unpersist()
     if live_edges["df"] is not e0:
         live_edges["df"].unpersist()
     return final.select("vertex", "label"), runner

@@ -79,7 +79,9 @@ def pagerank(
     skipped and the table is NOT unpersisted on return (the caller owns
     its lifecycle). This is what makes the incremental fold's edge pass
     delta-proportional: the accumulated table is pinned once and reused
-    across folds instead of re-shuffled per fold."""
+    across folds instead of re-shuffled per fold. A persisted bucketed
+    scan (sources/bucketed.py:pin_bucketed_edges) qualifies too — its
+    bucket partitioning co-locates the join with no exchange at all."""
     if assume_pinned:
         e = edges
         n_part = e.rdd.getNumPartitions()

@@ -126,6 +126,108 @@ def test_dedup_pair_generation_never_cross_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bucketed_edges_join_has_no_exchange_on_edge_side(spark, tmp_path):
+    """A bucketed edge table (sources/bucketed.py) must behave as a
+    pre-pinned table: the message join's executed plan shows the scan as
+    ``Bucketed: true`` with NO Exchange above it — only the state side
+    shuffles. This is the zero-exchange-per-job deployment format; losing
+    the property silently reintroduces a full edge shuffle per job."""
+    from parallel_connected_components_spark.sources.bucketed import (
+        load_bucketed_edges,
+        save_bucketed_edges,
+    )
+
+    edges = spark.range(20000).select(
+        (F.col("id") % 500).alias("src"), ((F.col("id") * 3) % 500).alias("dst")
+    )
+    n = save_bucketed_edges(
+        spark, edges, "pccs_test_bkt", str(tmp_path / "bkt"), num_buckets=8
+    )
+    try:
+        e, n2 = load_bucketed_edges(spark, "pccs_test_bkt")
+        assert n == n2 == 8
+        senders = spark.range(100).select(
+            F.col("id").alias("src"), F.col("id").alias("label")
+        ).hint("shuffle_hash")
+        msgs = e.join(senders, "src").select(F.col("dst").alias("vertex"), "label")
+        plan = executed_plan(msgs)
+        assert "Bucketed: true" in plan, plan
+        # the bucketed scan branch (below the join's streamed side) must
+        # carry no Exchange; the single Exchange belongs to senders
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        # ...and that one Exchange sits on the sender branch, which the
+        # planner lists above the build-side scan
+        assert "Range (0, 100" in plan.split("Exchange hashpartitioning", 1)[1], plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pccs_test_bkt")
+
+
+def test_bucketed_reload_after_catalog_loss_and_lp_parity(spark, tmp_path):
+    """Fresh-session deployment path: drop the catalog entry (the
+    in-memory catalog's restart analog), re-register from the sidecar,
+    and run frontier LP with assume_pinned=True over the persisted scan —
+    labels must equal the plain pin_edges run."""
+    from parallel_connected_components_spark.operators import (
+        cc_label_propagation,
+        symmetrize,
+    )
+    from parallel_connected_components_spark.sources.bucketed import (
+        pin_bucketed_edges,
+        save_bucketed_edges,
+    )
+    from tests.test_cc import gen_component_graph, labels_dict
+
+    edge_list = gen_component_graph(400, 7, 2, seed=11)
+    edges = symmetrize(spark.createDataFrame(edge_list, ["src", "dst"]))
+    path = str(tmp_path / "bkt_sym")
+    save_bucketed_edges(spark, edges, "pccs_test_bkt2", path, num_buckets=8)
+    spark.sql("DROP TABLE pccs_test_bkt2")  # simulate a fresh session
+    try:
+        e, _ = pin_bucketed_edges(spark, "pccs_test_bkt2", path)
+        got, _ = cc_label_propagation(spark, e, assume_pinned=True)
+        want, _ = cc_label_propagation(spark, edges)
+        assert labels_dict(got) == labels_dict(want)
+        e.unpersist()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pccs_test_bkt2")
+
+
+def test_two_phase_pre_partitioned_runs_without_exchange(spark, tmp_path):
+    """cc_two_phase(partition_by="pre", assume_canonical=True) over a
+    bucketed canonical table: phase 1's mapInPandas must read the bucket
+    partitions as-is (no Exchange between scan and the local-UF pass),
+    and labels must match the hash-partitioned run."""
+    from parallel_connected_components_spark.operators import (
+        canonicalize,
+        cc_two_phase,
+    )
+    from parallel_connected_components_spark.operators.cc import _local_uf_partition
+    from parallel_connected_components_spark.sources.bucketed import (
+        load_bucketed_edges,
+        save_bucketed_edges,
+    )
+    from tests.test_cc import gen_component_graph, labels_dict
+
+    edge_list = gen_component_graph(600, 5, 2, seed=3)
+    canon = canonicalize(spark.createDataFrame(edge_list, ["src", "dst"]))
+    save_bucketed_edges(
+        spark, canon, "pccs_test_bkt3", str(tmp_path / "bkt_canon"), num_buckets=8
+    )
+    try:
+        e, _ = load_bucketed_edges(spark, "pccs_test_bkt3")
+        # the phase-1 plan as cc_two_phase builds it under "pre"
+        local = e.mapInPandas(_local_uf_partition, schema="src long, dst long")
+        plan = executed_plan(local)
+        assert "Exchange" not in plan, plan
+        got, _ = cc_two_phase(
+            spark, e, partition_by="pre", assume_canonical=True
+        )
+        want, _ = cc_two_phase(spark, canon, partition_by="hash")
+        assert labels_dict(got) == labels_dict(want)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pccs_test_bkt3")
+
+
 def test_pr_fold_dedup_is_broadcast_map_side(spark):
     """The incremental-PageRank fold's delta dedup (round 5): both joins
     against the accumulated pinned edge table must execute as
