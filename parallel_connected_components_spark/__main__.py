@@ -194,7 +194,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.out:
                 labels.write.mode("overwrite").parquet(args.out)
         elif args.command == "pagerank":
-            edges, _ = _load_edges(spark, args)
+            edges, verts = _load_edges(spark, args)
             ranks, runner = pagerank(
                 spark,
                 canonicalize(edges),
@@ -202,6 +202,12 @@ def main(argv: list[str] | None = None) -> int:
                 max_iterations=args.max_iterations,
                 checkpoint_dir=args.checkpoint_dir,
                 resume=args.resume,
+                # only the MTX header range is guaranteed a SUPERSET of
+                # the edge endpoints (pagerank's vertices contract); the
+                # pages vertex table is not — uncrawled href targets are
+                # endpoints too, and passing a non-superset would leak
+                # their rank mass
+                vertices=verts if args.mtx else None,
             )
             out["iterations"] = runner.num_iterations
             out["l1_delta"] = runner.metrics[-1].extra.get("l1_delta")

@@ -41,8 +41,16 @@ def pagerank(
     resume: bool = False,
     init_ranks: DataFrame | None = None,
     assume_pinned: bool = False,
+    vertices: DataFrame | None = None,
 ) -> tuple[DataFrame, FixpointRunner]:
     """→ (ranks(vertex long, rank double), runner). ``edges`` is directed.
+
+    ``vertices`` (id), optional: the full vertex universe when it exceeds
+    the edge endpoints — e.g. the MTX header's 0..n-1 range, where
+    isolated vertices are dangling nodes that hold teleport mass and
+    lower every other rank via n. Must be a SUPERSET of the edge
+    endpoints (it replaces, not unions, the derived set). Default:
+    distinct endpoints, the web-graph convention.
 
     ``init_ranks`` (vertex, rank) warm-starts the power iteration: the
     fixpoint is unique (damped PageRank is a contraction), so any start
@@ -85,12 +93,13 @@ def pagerank(
     if assume_pinned:
         e = edges
         n_part = e.rdd.getNumPartitions()
-        verts = vertices_of(e).localCheckpoint(eager=True)
-        n = verts.count()
     else:
         e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
-        verts = vertices_of(e).localCheckpoint(eager=True)
-        n = verts.count()
+    verts = (
+        vertices.select("id") if vertices is not None else vertices_of(e)
+    ).localCheckpoint(eager=True)
+    n = verts.count()
+    if not assume_pinned:
         e, n_part = pin_edges(spark, e)
     outdeg = e.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("outdeg"))
     # vertex table with outdeg (0 for dangling), reused every iteration

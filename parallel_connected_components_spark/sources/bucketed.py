@@ -59,7 +59,13 @@ def save_bucketed_edges(
     n = num_buckets or spark.sparkContext.defaultParallelism
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     (
-        edges.select("src", "dst")
+        # cast pins the on-disk type to what the sidecar re-registration
+        # declares (BIGINT) — an int32 edge table would otherwise write
+        # INT32 parquet that the reloaded schema can't read
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
         .repartition(n, key)
         .write.mode("overwrite")
         .bucketBy(n, key)
@@ -96,6 +102,16 @@ def load_bucketed_edges(
             f"CLUSTERED BY ({side['key']}) SORTED BY ({side['key']}) "
             f"INTO {side['num_buckets']} BUCKETS LOCATION '{path}'"
         )
+    elif path is not None:
+        # a same-name registration pointing elsewhere must fail loudly —
+        # silently returning the OTHER dataset's edges would hand the
+        # caller the wrong graph
+        loc = _table_location(spark, name)
+        if loc is not None and os.path.realpath(loc) != os.path.realpath(path):
+            raise ValueError(
+                f"table {name} is registered at {loc!r}, not the requested "
+                f"{path!r} — drop it or use a different name"
+            )
     n = _num_buckets(spark, name)
     return spark.table(name), n
 
@@ -120,3 +136,11 @@ def _num_buckets(spark: SparkSession, name: str) -> int:
         if row["col_name"].strip() == "Num Buckets":
             return int(row["data_type"])
     raise ValueError(f"table {name} is not bucketed")
+
+
+def _table_location(spark: SparkSession, name: str) -> str | None:
+    for row in spark.sql(f"DESCRIBE FORMATTED {name}").collect():
+        if row["col_name"].strip() == "Location":
+            loc = row["data_type"].strip()
+            return loc[len("file:"):] if loc.startswith("file:") else loc
+    return None

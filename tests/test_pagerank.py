@@ -41,6 +41,31 @@ def test_pagerank_allclose_oracle(spark, edge_list):
     assert runner.num_iterations >= 2
 
 
+def test_pagerank_explicit_vertex_universe(spark):
+    """``vertices`` (e.g. the MTX header range) adds isolated vertices as
+    dangling nodes: they hold teleport+dangling mass, every n-dependent
+    term changes, and mass stays conserved. Verified against a hand power
+    iteration over the 3-vertex universe."""
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    got, _ = pagerank(spark, edges, tol=1e-9, vertices=verts)
+    gd = ranks_dict(got)
+    assert set(gd) == {1, 2, 3}
+    # independent dense iteration: out-links 1->2; 2 and 3 dangling
+    d, n = 0.85, 3
+    r = {1: 1 / 3, 2: 1 / 3, 3: 1 / 3}
+    for _ in range(200):
+        dang = r[2] + r[3]
+        base = (1 - d) / n + d * dang / n
+        r = {1: base, 2: base + d * r[1], 3: base}
+    for v in r:
+        assert gd[v] == pytest.approx(r[v], abs=1e-7), v
+    assert sum(gd.values()) == pytest.approx(1.0, abs=1e-9)
+    # and without the universe, vertex 3 does not exist and n=2
+    got2, _ = pagerank(spark, edges, tol=1e-9)
+    assert set(ranks_dict(got2)) == {1, 2}
+
+
 def test_pagerank_deterministic_across_partitioning(spark):
     edge_list = gen_component_graph(100, 3, 2, seed=9)
     edges = spark.createDataFrame(edge_list, "src long, dst long")

@@ -188,6 +188,16 @@ def test_bucketed_reload_after_catalog_loss_and_lp_parity(spark, tmp_path):
         want, _ = cc_label_propagation(spark, edges)
         assert labels_dict(got) == labels_dict(want)
         e.unpersist()
+        # a same-name registration pointing at a DIFFERENT path must fail
+        # loudly, not silently hand back the registered dataset
+        import pytest
+
+        from parallel_connected_components_spark.sources.bucketed import (
+            load_bucketed_edges,
+        )
+
+        with pytest.raises(ValueError, match="registered at"):
+            load_bucketed_edges(spark, "pccs_test_bkt2", str(tmp_path / "other"))
     finally:
         spark.sql("DROP TABLE IF EXISTS pccs_test_bkt2")
 
