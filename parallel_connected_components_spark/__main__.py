@@ -214,9 +214,11 @@ def main(argv: list[str] | None = None) -> int:
             if args.out:
                 ranks.write.mode("overwrite").parquet(args.out)
         elif args.command == "lpa":
-            edges, _ = _load_edges(spark, args)
+            edges, verts = _load_edges(spark, args)
             labels, runner = label_propagation_communities(
-                spark, symmetrize(edges), max_iterations=min(args.max_iterations, 20)
+                spark, symmetrize(edges), max_iterations=min(args.max_iterations, 20),
+                # MTX header range only (superset guarantee, as pagerank)
+                vertices=verts if args.mtx else None,
             )
             out["num_communities"] = count_components(labels)
             out["iterations"] = runner.num_iterations

@@ -239,6 +239,10 @@ def _pr_pinned_edges(spark: SparkSession, state_dir: str):
     df = (
         spark.read.parquet(*paths)
         .repartition(n_part, "src")
+        # in-partition sort: halves the columnar cache (RLE on sorted
+        # src), faster every power iteration — same rationale as
+        # pin_edges(sort=True)
+        .sortWithinPartitions("src", "dst")
         .persist()
     )
     df.count()
@@ -303,13 +307,20 @@ def update_pagerank_state(
         os.replace(tmp, os.path.join(vdir, "meta.json"))
         vs = vs + [next_v]
         if pinned is None:
-            grown = new.repartition(n_part, "src").persist()
+            grown = new.repartition(n_part, "src").sortWithinPartitions(
+                "src", "dst"
+            ).persist()
         else:
             # one exchange over the union; localCheckpoint FIRST would
             # drop partitioning (UnknownPartitioning), so truncate via
             # the persisted parents instead — lineage depth stays O(1)
             # because `pinned` is materialized and `new` checkpointed
-            grown = pinned.union(new).repartition(n_part, "src").persist()
+            grown = (
+                pinned.union(new)
+                .repartition(n_part, "src")
+                .sortWithinPartitions("src", "dst")
+                .persist()
+            )
         grown.count()
         old = _PR_EDGE_CACHE.pop(state_dir, None)
         _PR_EDGE_CACHE[state_dir] = {
