@@ -12,8 +12,10 @@ cc_openmp / cc_mpi all compute the same thing on one graph,
 /root/reference/src/main.c:60-163) plus the target-only algorithms:
 
     gen        synthesize a deterministic pages table
+    bucketize  one-time shuffle: write bucketed+sorted edge tables
     cc         connected components over a pages or edges table
-    pagerank   PageRank to 1e-6
+               (--bucketed DIR scans a bucketize layout, zero exchange)
+    pagerank   PageRank to 1e-6 (--bucketed supported)
     lpa        community label propagation
     triangles  triangle count
     stats      degree + component statistics
@@ -61,12 +63,41 @@ def _load_edges(spark, args):
     raise SystemExit("one of --pages/--edges/--mtx is required")
 
 
+def _bkt_table(dir_path: str, kind: str) -> str:
+    """Catalog name for a bucketize-layout table: derived from the dir's
+    basename (the load-time location check in sources/bucketed.py turns
+    a same-name/different-dir collision into a loud error)."""
+    import os
+    import re
+
+    base = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.abspath(dir_path)))
+    return f"pccs_{base}_{kind}"
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="parallel_connected_components_spark")
-    p.add_argument("command", choices=["gen", "cc", "pagerank", "lpa", "triangles", "stats"])
+    p.add_argument(
+        "command",
+        choices=["gen", "bucketize", "cc", "pagerank", "lpa", "triangles", "stats"],
+    )
     p.add_argument("--pages", help="pages parquet path (url/warc_ts/html/text/lang)")
     p.add_argument("--edges", help="edges parquet path (src/dst)")
     p.add_argument("--mtx", help="Matrix Market file")
+    p.add_argument(
+        "--bucketed",
+        metavar="DIR",
+        help="a directory written by the bucketize subcommand; cc "
+        "(labelprop/two_phase) and pagerank then scan the pre-bucketed "
+        "sorted tables with ZERO edge exchange (the recurrent-job "
+        "deployment path, BENCH/BASELINE.md bucketed section)",
+    )
+    p.add_argument(
+        "--num-buckets",
+        type=int,
+        default=None,
+        help="bucketize: bucket count (default: defaultParallelism; on a "
+        "cluster pick ~2-4x total executor cores)",
+    )
     p.add_argument("--out", help="output parquet dir (labels/ranks)")
     p.add_argument("--num-pages", type=int, default=10000)
     p.add_argument("--num-components", type=int, default=8)
@@ -126,6 +157,66 @@ def main(argv: list[str] | None = None) -> int:
             )
             pages.write.mode("overwrite").parquet(args.out)
             out["pages"] = args.num_pages
+        elif args.command == "bucketize":
+            # one-time shuffle: write the canonical (directed-oriented)
+            # and symmetrized edge sets as bucketed+sorted tables; every
+            # later cc/pagerank --bucketed job scans them with zero edge
+            # exchange (BENCH/BASELINE.md bucketed section)
+            import os as _os
+
+            from .sources import save_bucketed_edges
+
+            if not args.out:
+                raise SystemExit("bucketize requires --out")
+            edges, _ = _load_edges(spark, args)
+            n_b = save_bucketed_edges(
+                spark, canonicalize(edges), _bkt_table(args.out, "canon"),
+                _os.path.join(args.out, "canon"), num_buckets=args.num_buckets,
+            )
+            save_bucketed_edges(
+                spark, symmetrize(edges), _bkt_table(args.out, "sym"),
+                _os.path.join(args.out, "sym"), num_buckets=args.num_buckets,
+            )
+            out["num_buckets"] = n_b
+            out["tables"] = {
+                "canon": _bkt_table(args.out, "canon"),
+                "sym": _bkt_table(args.out, "sym"),
+            }
+        elif args.command == "cc" and args.bucketed:
+            import os as _os
+
+            from .sources import pin_bucketed_edges
+
+            algo = "labelprop" if args.algorithm == "auto" else args.algorithm
+            if algo == "labelprop":
+                from .operators import cc_label_propagation
+
+                e, _ = pin_bucketed_edges(
+                    spark, _bkt_table(args.bucketed, "sym"),
+                    _os.path.join(args.bucketed, "sym"),
+                )
+                labels, runner = cc_label_propagation(
+                    spark, e, assume_pinned=True,
+                    max_iterations=args.max_iterations,
+                )
+            elif algo == "two_phase":
+                e, _ = pin_bucketed_edges(
+                    spark, _bkt_table(args.bucketed, "canon"),
+                    _os.path.join(args.bucketed, "canon"),
+                )
+                labels, runner = cc_two_phase(
+                    spark, e, partition_by="pre", assume_canonical=True,
+                    max_iterations=args.max_iterations,
+                )
+            else:
+                raise SystemExit(
+                    "--bucketed supports --algorithm labelprop or two_phase"
+                )
+            out["algorithm"] = algo
+            out["num_components"] = count_components(labels)
+            out["iterations"] = runner.num_iterations
+            if args.out:
+                labels.write.mode("overwrite").parquet(args.out)
         elif args.command == "cc":
             edges, verts = _load_edges(spark, args)
             if args.resume and args.algorithm in ("two_phase", "afforest", "auto"):
@@ -193,6 +284,23 @@ def main(argv: list[str] | None = None) -> int:
                 out["phase_iterations"] = phases
             if args.out:
                 labels.write.mode("overwrite").parquet(args.out)
+        elif args.command == "pagerank" and args.bucketed:
+            import os as _os
+
+            from .sources import pin_bucketed_edges
+
+            e, _ = pin_bucketed_edges(
+                spark, _bkt_table(args.bucketed, "canon"),
+                _os.path.join(args.bucketed, "canon"),
+            )
+            ranks, runner = pagerank(
+                spark, e, tol=args.tol,
+                max_iterations=args.max_iterations, assume_pinned=True,
+            )
+            out["iterations"] = runner.num_iterations
+            out["l1_delta"] = runner.metrics[-1].extra.get("l1_delta")
+            if args.out:
+                ranks.write.mode("overwrite").parquet(args.out)
         elif args.command == "pagerank":
             edges, verts = _load_edges(spark, args)
             ranks, runner = pagerank(
