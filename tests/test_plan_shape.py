@@ -126,6 +126,38 @@ def test_dedup_pair_generation_never_cross_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_sorted_pin_compresses_cache(spark):
+    """pin_edges' default in-partition sort must keep its win: the
+    sorted key column RLE/delta-compresses in the columnar cache
+    (measured 550 → 299 MB at 36M edges, BENCH/BASELINE.md), which is
+    what makes every iteration of the bandwidth-bound loops faster.
+    Guard the property, not the absolute bytes."""
+    from pyspark.sql import functions as F
+
+    from parallel_connected_components_spark.operators.graph import pin_edges
+
+    edges = spark.range(400000).select(
+        (F.xxhash64("id") % 20000).alias("src"),
+        (F.xxhash64("id", F.lit(1)) % 20000).alias("dst"),
+    )
+
+    def cached_bytes(sort):
+        before = {
+            i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+        e, _ = pin_edges(spark, edges, sort=sort)
+        new = [
+            i.memSize()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if i.id() not in before
+        ]
+        e.unpersist()
+        return max(new)
+
+    plain, srt = cached_bytes(False), cached_bytes(True)
+    assert srt <= 0.8 * plain, (plain, srt)
+
+
 def test_bucketed_edges_join_has_no_exchange_on_edge_side(spark, tmp_path):
     """A bucketed edge table (sources/bucketed.py) must behave as a
     pre-pinned table: the message join's executed plan shows the scan as
