@@ -69,7 +69,9 @@ def save_bucketed_edges(
         .repartition(n, key)
         .write.mode("overwrite")
         .bucketBy(n, key)
-        .sortBy(key)
+        # secondary sort column matches pin_edges' in-partition sort:
+        # fully deterministic layout, and the second column delta-encodes
+        .sortBy(key, "dst" if key == "src" else "src")
         .option("path", path)
         .format("parquet")
         .saveAsTable(name)

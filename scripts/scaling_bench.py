@@ -81,7 +81,7 @@ def _run_level(pages: str, cores: int, reps: int = 2) -> dict:
     return best
 
 
-def run_scaling(pages_path: str, low: int = 8, high: int = 32, write_md: bool = True,
+def run_scaling(pages_path: str, low: int = 8, high: int = 32, update_md: bool = False,
                 reps: int = 2) -> dict:
     r_low = _run_level(pages_path, low, reps)
     r_high = _run_level(pages_path, high, reps)
@@ -107,7 +107,7 @@ def run_scaling(pages_path: str, low: int = 8, high: int = 32, write_md: bool = 
             str(high): round(n * r_high["pr_iters"] / r_high["pr_sec"], 1),
         },
     }
-    if write_md:
+    if update_md:
         write_md(pages_path, [summary])
     return summary
 
@@ -179,6 +179,6 @@ if __name__ == "__main__":
     if len(sys.argv) > 3:
         pairs = [(int(sys.argv[2]), int(sys.argv[3]))]
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
-    summaries = [run_scaling(pages, lo, hi, write_md=False, reps=reps) for lo, hi in pairs]
+    summaries = [run_scaling(pages, lo, hi, reps=reps) for lo, hi in pairs]
     write_md(pages, summaries)
     print(json.dumps(summaries, indent=1))
