@@ -286,7 +286,7 @@ def main() -> None:
         spark.stop()
         from scripts.scaling_bench import run_scaling
 
-        result["scaling"] = run_scaling(pages_path, write_md=False)
+        result["scaling"] = run_scaling(pages_path)
     else:
         spark.stop()
 

@@ -27,6 +27,8 @@ import argparse
 import json
 import sys
 
+from pyspark.sql import functions as F
+
 
 from .operators import (
     canonicalize,
@@ -72,6 +74,21 @@ def _bkt_table(dir_path: str, kind: str) -> str:
 
     base = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.abspath(dir_path)))
     return f"pccs_{base}_{kind}"
+
+
+def _bucketed_vertices(spark, dir_path: str):
+    """Vertex universe carried by a bucketize layout (meta.json records
+    the MTX header range when the layout came from --mtx); None when the
+    layout carries none — consumers then derive vertices from edges."""
+    import os
+
+    meta_path = os.path.join(dir_path, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path, "r", encoding="utf-8") as f:
+            meta = json.load(f)
+        if "num_vertices" in meta:
+            return spark.range(meta["num_vertices"]).select("id")
+    return None
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -164,19 +181,36 @@ def main(argv: list[str] | None = None) -> int:
             # exchange (BENCH/BASELINE.md bucketed section)
             import os as _os
 
-            from .sources import save_bucketed_edges
+            from .sources import load_bucketed_edges, save_bucketed_edges
 
             if not args.out:
                 raise SystemExit("bucketize requires --out")
-            edges, _ = _load_edges(spark, args)
+            edges, verts = _load_edges(spark, args)
             n_b = save_bucketed_edges(
                 spark, canonicalize(edges), _bkt_table(args.out, "canon"),
                 _os.path.join(args.out, "canon"), num_buckets=args.num_buckets,
             )
+            # derive sym from the JUST-WRITTEN canon table: one source
+            # pass total (for --pages that source pass is the HTML link
+            # extraction), and canon ∪ swap(canon) needs no dedup —
+            # canonical orientation makes the two halves disjoint
+            canon_scan, _ = load_bucketed_edges(spark, _bkt_table(args.out, "canon"))
+            sym = canon_scan.union(
+                canon_scan.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
             save_bucketed_edges(
-                spark, symmetrize(edges), _bkt_table(args.out, "sym"),
+                spark, sym, _bkt_table(args.out, "sym"),
                 _os.path.join(args.out, "sym"), num_buckets=args.num_buckets,
             )
+            meta = {"num_buckets": n_b}
+            if args.mtx:
+                # carry the MTX header's vertex universe so --bucketed
+                # consumers count isolated vertices (singleton
+                # components, PageRank teleport mass) like the direct
+                # --mtx path does
+                meta["num_vertices"] = verts.count()
+            with open(_os.path.join(args.out, "meta.json"), "w", encoding="utf-8") as f:
+                json.dump(meta, f)
             out["num_buckets"] = n_b
             out["tables"] = {
                 "canon": _bkt_table(args.out, "canon"),
@@ -187,7 +221,18 @@ def main(argv: list[str] | None = None) -> int:
 
             from .sources import pin_bucketed_edges
 
+            if args.resume or args.checkpoint_dir:
+                raise SystemExit(
+                    "--bucketed does not support --resume/--checkpoint-dir; "
+                    "use a plain input path for durable snapshots"
+                )
+            if args.two_phase_range or args.two_phase_partition != "auto":
+                raise SystemExit(
+                    "--two-phase-partition is fixed by the bucketed layout "
+                    "(partition_by='pre'); drop the flag or use --edges"
+                )
             algo = "labelprop" if args.algorithm == "auto" else args.algorithm
+            verts = _bucketed_vertices(spark, args.bucketed)
             if algo == "labelprop":
                 from .operators import cc_label_propagation
 
@@ -196,7 +241,7 @@ def main(argv: list[str] | None = None) -> int:
                     _os.path.join(args.bucketed, "sym"),
                 )
                 labels, runner = cc_label_propagation(
-                    spark, e, assume_pinned=True,
+                    spark, e, assume_pinned=True, vertices=verts,
                     max_iterations=args.max_iterations,
                 )
             elif algo == "two_phase":
@@ -206,7 +251,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 labels, runner = cc_two_phase(
                     spark, e, partition_by="pre", assume_canonical=True,
-                    max_iterations=args.max_iterations,
+                    vertices=verts, max_iterations=args.max_iterations,
                 )
             else:
                 raise SystemExit(
@@ -215,6 +260,9 @@ def main(argv: list[str] | None = None) -> int:
             out["algorithm"] = algo
             out["num_components"] = count_components(labels)
             out["iterations"] = runner.num_iterations
+            phases = runner.phase_iterations
+            if set(phases) - {"main"}:
+                out["phase_iterations"] = phases
             if args.out:
                 labels.write.mode("overwrite").parquet(args.out)
         elif args.command == "cc":
@@ -289,6 +337,11 @@ def main(argv: list[str] | None = None) -> int:
 
             from .sources import pin_bucketed_edges
 
+            if args.resume or args.checkpoint_dir:
+                raise SystemExit(
+                    "--bucketed does not support --resume/--checkpoint-dir; "
+                    "use a plain input path for durable snapshots"
+                )
             e, _ = pin_bucketed_edges(
                 spark, _bkt_table(args.bucketed, "canon"),
                 _os.path.join(args.bucketed, "canon"),
@@ -296,6 +349,7 @@ def main(argv: list[str] | None = None) -> int:
             ranks, runner = pagerank(
                 spark, e, tol=args.tol,
                 max_iterations=args.max_iterations, assume_pinned=True,
+                vertices=_bucketed_vertices(spark, args.bucketed),
             )
             out["iterations"] = runner.num_iterations
             out["l1_delta"] = runner.metrics[-1].extra.get("l1_delta")

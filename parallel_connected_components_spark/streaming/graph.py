@@ -220,6 +220,18 @@ def _pr_efold_versions(state_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _pin_sorted(df, n_part):
+    """Shared edge-pin recipe for the PR fold (one code path for the
+    initial read and both grow branches): repartition on the join key +
+    in-partition sort (halves the columnar cache — see pin_edges) +
+    persist. Caller materializes and owns the unpersist."""
+    return (
+        df.repartition(n_part, "src")
+        .sortWithinPartitions("src", "dst")
+        .persist()
+    )
+
+
 def _pr_pinned_edges(spark: SparkSession, state_dir: str):
     """(pinned edges df | None, n_part, committed fold versions)."""
     vs = _pr_efold_versions(state_dir)
@@ -236,15 +248,7 @@ def _pr_pinned_edges(spark: SparkSession, state_dir: str):
     if not vs:
         return None, n_part, vs
     paths = [os.path.join(state_dir, f"efold_v{v}", "edges") for v in vs]
-    df = (
-        spark.read.parquet(*paths)
-        .repartition(n_part, "src")
-        # in-partition sort: halves the columnar cache (RLE on sorted
-        # src), faster every power iteration — same rationale as
-        # pin_edges(sort=True)
-        .sortWithinPartitions("src", "dst")
-        .persist()
-    )
+    df = _pin_sorted(spark.read.parquet(*paths), n_part)
     df.count()
     _PR_EDGE_CACHE[state_dir] = {
         "df": df, "n_part": n_part, "versions": vs, "session": spark
@@ -307,20 +311,13 @@ def update_pagerank_state(
         os.replace(tmp, os.path.join(vdir, "meta.json"))
         vs = vs + [next_v]
         if pinned is None:
-            grown = new.repartition(n_part, "src").sortWithinPartitions(
-                "src", "dst"
-            ).persist()
+            grown = _pin_sorted(new, n_part)
         else:
             # one exchange over the union; localCheckpoint FIRST would
             # drop partitioning (UnknownPartitioning), so truncate via
             # the persisted parents instead — lineage depth stays O(1)
             # because `pinned` is materialized and `new` checkpointed
-            grown = (
-                pinned.union(new)
-                .repartition(n_part, "src")
-                .sortWithinPartitions("src", "dst")
-                .persist()
-            )
+            grown = _pin_sorted(pinned.union(new), n_part)
         grown.count()
         old = _PR_EDGE_CACHE.pop(state_dir, None)
         _PR_EDGE_CACHE[state_dir] = {

@@ -75,7 +75,11 @@ def main() -> None:
     def run_pin():
         before = _storage()
         t0 = time.monotonic()
-        e, _ = pin_edges(spark, sym)
+        # sort=False pins the A/B's meaning: this leg IS the unsorted
+        # shuffled pin the report contrasts against (pin_edges itself
+        # now defaults to sort=True in production — the r5 follow-up
+        # section of BENCH/BASELINE.md measures that separately)
+        e, _ = pin_edges(spark, sym, sort=False)
         t_pin = time.monotonic() - t0
         _record_cache("pin", before)
         t0 = time.monotonic()

@@ -1,0 +1,110 @@
+"""CLI round trip for the bucketize → --bucketed deployment path.
+
+Pins the r5 contract: a layout written from --mtx carries the header's
+vertex universe in meta.json, so cc/pagerank --bucketed count isolated
+vertices exactly like the direct --mtx path (reference parity:
+graph_create allocates all n vertices from the MTX dims,
+/root/reference/src/main.c).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+MTX = """%%MatrixMarket matrix coordinate pattern general
+10 10 5
+1 2
+2 3
+1 3
+4 5
+5 6
+"""
+# 0-indexed: {0,1,2} + {3,4,5} + isolated 6..9 -> 6 components.
+N_COMPONENTS = 6
+
+
+@pytest.fixture()
+def cli(spark, monkeypatch):
+    import parallel_connected_components_spark.__main__ as cli_mod
+
+    # Reuse the session fixture; main()'s finally-stop must not kill it.
+    monkeypatch.setattr(cli_mod, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    return cli_mod
+
+
+def _last_json(capsys) -> dict:
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_bucketize_mtx_roundtrip_counts_isolated_vertices(
+    cli, tmp_path, capsys
+):
+    mtx = tmp_path / "g.mtx"
+    mtx.write_text(MTX)
+    layout = tmp_path / "bkt_cli_mtx"
+
+    cli.main(["bucketize", "--mtx", str(mtx), "--out", str(layout)])
+    out = _last_json(capsys)
+    assert out["num_buckets"] >= 1
+    meta = json.loads((layout / "meta.json").read_text())
+    assert meta["num_vertices"] == 10
+
+    # labelprop (the auto default) over the sym table
+    cli.main(["cc", "--bucketed", str(layout)])
+    assert _last_json(capsys)["num_components"] == N_COMPONENTS
+
+    # two_phase over the canon table, pre-partitioned
+    cli.main(["cc", "--bucketed", str(layout), "--algorithm", "two_phase"])
+    assert _last_json(capsys)["num_components"] == N_COMPONENTS
+
+    # pagerank: teleport mass reaches the 4 isolated vertices -> 10 rows
+    cli.main(
+        ["pagerank", "--bucketed", str(layout), "--out",
+         str(tmp_path / "ranks"), "--max-iterations", "20"]
+    )
+    pr = _last_json(capsys)
+    assert pr["iterations"] >= 1
+    ranks = cli.get_spark().read.parquet(str(tmp_path / "ranks"))
+    assert ranks.count() == 10
+
+
+def test_bucketize_pages_layout_has_no_vertex_universe(
+    cli, spark, tmp_path, capsys
+):
+    from parallel_connected_components_spark.sources import gen_pages
+
+    pages_dir = tmp_path / "pages"
+    gen_pages(spark, 200, 4, 2, seed=7).write.parquet(str(pages_dir))
+    layout = tmp_path / "bkt_cli_pages"
+
+    cli.main(["bucketize", "--pages", str(pages_dir), "--out", str(layout)])
+    _last_json(capsys)
+    meta = json.loads((layout / "meta.json").read_text())
+    assert "num_vertices" not in meta
+    assert cli._bucketed_vertices(spark, str(layout)) is None
+
+    # --bucketed cc still runs, deriving vertices from edges, and matches
+    # the direct --pages path on the same input
+    cli.main(["cc", "--bucketed", str(layout)])
+    bucketed_n = _last_json(capsys)["num_components"]
+    cli.main(["cc", "--pages", str(pages_dir), "--algorithm", "labelprop"])
+    assert _last_json(capsys)["num_components"] == bucketed_n
+
+
+def test_bucketed_rejects_incompatible_flags(cli, tmp_path):
+    with pytest.raises(SystemExit):
+        cli.main(["cc", "--bucketed", str(tmp_path), "--resume"])
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["cc", "--bucketed", str(tmp_path),
+             "--two-phase-partition", "range"]
+        )
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["pagerank", "--bucketed", str(tmp_path),
+             "--checkpoint-dir", str(tmp_path / "ck")]
+        )
