@@ -8,7 +8,11 @@ degree/component stats, triangles, PageRank, LPA) plus the
 training-data ops (token/quality/lang/fingerprint, exact + MinHash +
 SimHash + n-gram-Jaccard dedup incl. end-to-end dup_clusters,
 brute-force kNN, real PPM/PNG/JPEG/WAV multimodal decode, events
-windows, TPC-H-style star joins, MP3/MP4 container metadata). 45 queries, 45 exact DuckDB oracles.
+windows, TPC-H-style star joins, MP3/MP4 container metadata) and the
+directed-link-graph trio added r5: personalized PageRank, HITS
+hubs/authorities, SCC via trim+coloring — each bit-exact against an
+unrolled (PPR/HITS) or recursive-closure (SCC) DuckDB twin. 48 queries,
+48 exact DuckDB oracles.
 """
 
 from __future__ import annotations

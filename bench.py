@@ -219,6 +219,23 @@ def main() -> None:
         n_edges * pr_runner.num_iterations / timings["pagerank_1e6"], 1
     )
 
+    # -- SCC of the directed link graph (round 5) -----------------------------
+    # raw directed links (not canonicalized): the generator's intra-block
+    # links are dense enough that each block collapses to one giant SCC —
+    # the web-bowtie regime (trim peels, one coloring, one backward sweep)
+    edges_dir = edges_raw.localCheckpoint(eager=True)  # extraction not re-timed
+
+    def run_scc():
+        from parallel_connected_components_spark.operators import scc
+
+        labels, info = scc(spark, edges_dir)
+        nscc = labels.select("label").distinct().count()
+        extra["scc_count"] = nscc
+        extra["scc_rounds"] = info["rounds"]
+        assert nscc >= expected_components
+
+    timed("scc", run_scc)
+
     # -- LPA (bounded) + triangles -------------------------------------------
     timed(
         "lpa_8iter",
@@ -271,10 +288,14 @@ def main() -> None:
         "timing_method": "median of reps (lower median if even); spread=[min,max]",
         # suite composition by round, so cross-round totals are comparable:
         # r2 added revenue_by_nation (+~0.9s); r3 changed no membership;
-        # r4 added dup_clusters (pairs→CC→keep-one end-to-end).
-        "suite_r1": sorted(set(timings) - {"revenue_by_nation", "dup_clusters"}),
+        # r4 added dup_clusters (pairs→CC→keep-one end-to-end); r5 added
+        # scc (directed trim+coloring via two LP runs).
+        "suite_r1": sorted(
+            set(timings) - {"revenue_by_nation", "dup_clusters", "scc"}
+        ),
         "suite_added_r2": ["revenue_by_nation"],
         "suite_added_r4": ["dup_clusters"],
+        "suite_added_r5": ["scc"],
         "sf": sf,
         "cores": cores,
         "n_pages": n_pages,

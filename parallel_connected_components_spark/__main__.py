@@ -15,6 +15,8 @@ cc_openmp / cc_mpi all compute the same thing on one graph,
     bucketize  one-time shuffle: write bucketed+sorted edge tables
     cc         connected components over a pages or edges table
                (--bucketed DIR scans a bucketize layout, zero exchange)
+    scc        strongly connected components of the DIRECTED graph
+               (trim+coloring; operators/scc.py)
     pagerank   PageRank to 1e-6 (--bucketed supported)
     lpa        community label propagation
     triangles  triangle count
@@ -95,7 +97,9 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="parallel_connected_components_spark")
     p.add_argument(
         "command",
-        choices=["gen", "bucketize", "cc", "pagerank", "lpa", "triangles", "stats"],
+        choices=[
+            "gen", "bucketize", "cc", "scc", "pagerank", "lpa", "triangles", "stats",
+        ],
     )
     p.add_argument("--pages", help="pages parquet path (url/warc_ts/html/text/lang)")
     p.add_argument("--edges", help="edges parquet path (src/dst)")
@@ -330,6 +334,21 @@ def main(argv: list[str] | None = None) -> int:
             phases = runner.phase_iterations
             if set(phases) - {"main"}:  # multi-phase algorithms: break it down
                 out["phase_iterations"] = phases
+            if args.out:
+                labels.write.mode("overwrite").parquet(args.out)
+        elif args.command == "scc":
+            from .operators import scc as _scc
+
+            edges, verts = _load_edges(spark, args)
+            labels, sinfo = _scc(
+                spark, edges,
+                # header range only (superset guarantee, as pagerank/lpa)
+                vertices=verts if args.mtx else None,
+            )
+            out["num_sccs"] = count_components(labels)
+            out["rounds"] = sinfo["rounds"]
+            out["color_steps"] = sinfo["color_steps"]
+            out["mark_steps"] = sinfo["mark_steps"]
             if args.out:
                 labels.write.mode("overwrite").parquet(args.out)
         elif args.command == "pagerank" and args.bucketed:

@@ -50,8 +50,10 @@ from .operators.cc import (
 )
 from .operators.dedup import exact_duplicates, minhash_signatures, simhash_signatures
 from .operators.graph import canonicalize, degree_stats, degrees, symmetrize
+from .operators.hits import hits_fixed
 from .operators.lpa import label_propagation_communities
-from .operators.pagerank import pagerank_fixed
+from .operators.pagerank import pagerank_fixed, personalized_pagerank_fixed
+from .operators.scc import scc
 from .operators.similarity import knn_bruteforce
 from .operators.stats import component_sizes, component_stats, top_components
 from .operators.triangles import triangle_count, triangles_per_vertex
@@ -109,6 +111,40 @@ def doc_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
 
 
+def raw_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED derived graph with cycles by construction — the SCC/HITS
+    input. On top of the star/chain edges (all pointing to smaller ids —
+    a DAG on its own), two extra families:
+
+      back:  i → i+BLOCK-1  for block heads whose block is complete —
+             closes each full block into ONE directed cycle through the
+             chain edges (SCC = the block);
+      head:  i → i-BLOCK    for block heads — a descending chain between
+             blocks, so the condensation is a path of block-SCCs (plus
+             trailing-partial-block singletons).
+
+    Existence of the target is enforced by a semi-join against the doc
+    ids (NOT driver-side max arithmetic), mirrored in DIR_SQL."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id")
+    tgt = docs.select(F.col("doc_id").alias("dst"))
+    star = docs.select(i.alias("src"), (i - i % BLOCK).alias("dst"))
+    chain = docs.filter(i % BLOCK != 0).select(i.alias("src"), (i - 1).alias("dst"))
+    back = (
+        docs.filter(i % BLOCK == 0)
+        .select(i.alias("src"), (i + BLOCK - 1).alias("dst"))
+        .join(tgt, "dst", "leftsemi")
+        .select("src", "dst")
+    )
+    head = (
+        docs.filter(i % BLOCK == 0)
+        .select(i.alias("src"), (i - BLOCK).alias("dst"))
+        .join(tgt, "dst", "leftsemi")
+        .select("src", "dst")
+    )
+    return star.unionAll(chain).unionAll(back).unionAll(head)
+
+
 # ===========================================================================
 # Shared builders — oracle SQL fragments (DuckDB dialect)
 # ===========================================================================
@@ -138,6 +174,24 @@ SYM_SQL = (
     SELECT src, dst FROM canon UNION SELECT dst, src FROM canon
   )"""
 )
+
+DIR_SQL = f"""
+  dirraw AS (
+    SELECT doc_id AS src, doc_id - (doc_id % {BLOCK}) AS dst FROM documents
+    UNION ALL
+    SELECT doc_id, doc_id - 1 FROM documents WHERE doc_id % {BLOCK} <> 0
+    UNION ALL
+    SELECT d.doc_id, d.doc_id + {BLOCK - 1} FROM documents d
+      JOIN documents t ON t.doc_id = d.doc_id + {BLOCK - 1}
+      WHERE d.doc_id % {BLOCK} = 0
+    UNION ALL
+    SELECT d.doc_id, d.doc_id - {BLOCK} FROM documents d
+      JOIN documents t ON t.doc_id = d.doc_id - {BLOCK}
+      WHERE d.doc_id % {BLOCK} = 0
+  ),
+  dir AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM dirraw WHERE src <> dst
+  )"""
 
 CC_SQL = (
     SYM_SQL
@@ -226,6 +280,111 @@ def _pagerank_fixed_sql(n_iterations: int, damping: float = 0.85, top: int = 20)
         + ",\n  ".join(ctes)
         + f"\n  SELECT vertex, rank FROM pr{n_iterations}"
         + f"\n  ORDER BY rank DESC, vertex ASC LIMIT {top}"
+    )
+
+
+def _ppr_fixed_sql(
+    seeds: list[int], n_iterations: int, damping: float = 0.85, top: int = 20
+) -> str:
+    """Unrolled personalized PageRank (DuckDB), bit-exact twin of
+    operators.pagerank.personalized_pagerank_fixed over the SYM graph:
+    same ::DOUBLE literals (1/|S|, d, 1-d computed once in Python and
+    repr-injected into BOTH plans), same ordered left folds."""
+    d = f"{damping!r}::DOUBLE"
+    one_minus = f"{(1.0 - damping)!r}::DOUBLE"
+    tw = f"{1.0 / len(sorted(set(seeds)))!r}::DOUBLE"
+    seedlist = ",".join(str(int(s)) for s in sorted(set(seeds)))
+    fold = "list_reduce(list_prepend(0.0::DOUBLE, {lst}), (a, b) -> a + b)"
+    ctes = [
+        "sym2 AS MATERIALIZED (SELECT src, dst FROM sym)",
+        "verts2 AS MATERIALIZED (SELECT doc_id AS v FROM documents)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM sym2 GROUP BY src)",
+        f"""vo AS (SELECT v.v AS vertex, coalesce(d.outdeg, 0) AS outdeg,
+              CASE WHEN v.v IN ({seedlist}) THEN {tw} ELSE 0.0::DOUBLE END AS tele
+              FROM verts2 v LEFT JOIN deg d ON d.src = v.v)""",
+        "pr0 AS MATERIALIZED (SELECT vertex, outdeg, tele, tele AS rank FROM vo)",
+    ]
+    for t in range(n_iterations):
+        dang_lst = "coalesce(list(rank ORDER BY vertex), [])"
+        ctes.append(
+            f"d{t} AS (SELECT {fold.format(lst=dang_lst)} AS dm "
+            f"FROM pr{t} WHERE outdeg = 0)"
+        )
+        contrib_lst = "list(p.rank / p.outdeg ORDER BY p.vertex)"
+        ctes.append(
+            f"""c{t} AS (SELECT e.dst AS vertex, {fold.format(lst=contrib_lst)} AS contrib
+              FROM sym2 e JOIN pr{t} p ON p.vertex = e.src AND p.outdeg > 0
+              GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""pr{t + 1} AS MATERIALIZED (SELECT s.vertex, s.outdeg, s.tele,
+                {one_minus} * s.tele
+                + {d} * (coalesce(c.contrib, 0.0::DOUBLE) + d{t}.dm * s.tele) AS rank
+              FROM pr{t} s LEFT JOIN c{t} c ON c.vertex = s.vertex, d{t})"""
+        )
+    return (
+        f"WITH {SYM_SQL}, "
+        + ",\n  ".join(ctes)
+        + f"\n  SELECT vertex, rank FROM pr{n_iterations}"
+        + f"\n  ORDER BY rank DESC, vertex ASC LIMIT {top}"
+    )
+
+
+def _hits_fixed_sql(n_iterations: int) -> str:
+    """Unrolled HITS (DuckDB), bit-exact twin of operators.hits.hits_fixed
+    over the DIR graph: per half-step one gather fold (sender-id order),
+    one full-vertex normalization fold (vertex order), one division —
+    identical operands in identical order in both engines."""
+    fold = "list_reduce(list_prepend(0.0::DOUBLE, {lst}), (a, b) -> a + b)"
+    ctes = [
+        "dir2 AS MATERIALIZED (SELECT src, dst FROM dir)",
+        "verts2 AS MATERIALIZED (SELECT doc_id AS vertex FROM documents)",
+        "h0 AS MATERIALIZED (SELECT vertex, 1.0::DOUBLE AS hub FROM verts2)",
+    ]
+    for t in range(n_iterations):
+        gl = "list(h.hub ORDER BY h.vertex)"
+        ctes.append(
+            f"""ag{t} AS (SELECT e.dst AS vertex, {fold.format(lst=gl)} AS s
+              FROM dir2 e JOIN h{t} h ON h.vertex = e.src GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""af{t} AS MATERIALIZED (SELECT v.vertex,
+                coalesce(g.s, 0.0::DOUBLE) AS auth
+              FROM verts2 v LEFT JOIN ag{t} g ON g.vertex = v.vertex)"""
+        )
+        nl = "list(auth ORDER BY vertex)"
+        ctes.append(f"asum{t} AS (SELECT {fold.format(lst=nl)} AS total FROM af{t})")
+        ctes.append(
+            f"""an{t} AS MATERIALIZED (SELECT vertex,
+                coalesce(auth / nullif(total, 0.0::DOUBLE), 0.0::DOUBLE) AS auth
+              FROM af{t}, asum{t})"""
+        )
+        hl = "list(a.auth ORDER BY a.vertex)"
+        ctes.append(
+            f"""hg{t} AS (SELECT e.src AS vertex, {fold.format(lst=hl)} AS s
+              FROM dir2 e JOIN an{t} a ON a.vertex = e.dst GROUP BY e.src)"""
+        )
+        ctes.append(
+            f"""hf{t} AS MATERIALIZED (SELECT v.vertex,
+                coalesce(g.s, 0.0::DOUBLE) AS hub
+              FROM verts2 v LEFT JOIN hg{t} g ON g.vertex = v.vertex)"""
+        )
+        nh = "list(hub ORDER BY vertex)"
+        ctes.append(f"hsum{t} AS (SELECT {fold.format(lst=nh)} AS total FROM hf{t})")
+        ctes.append(
+            f"""h{t + 1} AS MATERIALIZED (SELECT vertex,
+                coalesce(hub / nullif(total, 0.0::DOUBLE), 0.0::DOUBLE) AS hub
+              FROM hf{t}, hsum{t})"""
+        )
+    last = n_iterations - 1
+    return (
+        f"WITH {DIR_SQL}, "
+        + ",\n  ".join(ctes)
+        + f"""
+  SELECT v.vertex, a.auth AS authority, h.hub AS hub
+  FROM verts2 v
+  JOIN an{last} a ON a.vertex = v.vertex
+  JOIN h{n_iterations} h ON h.vertex = v.vertex"""
     )
 
 
@@ -433,6 +592,67 @@ def build_queries():
         return ranks.orderBy(F.desc("rank"), F.asc("vertex")).limit(20)
 
     q("pagerank_top20", _pr, _pagerank_fixed_sql(PR_ITERS, top=20))
+
+    # personalized PageRank: restart at a 3-seed set spanning three
+    # blocks; scores are nonzero exactly on the seeds' components, so
+    # top-20 is stable (24 positive scores; cross-block mirror ties are
+    # bit-exact in both engines and break on vertex asc)
+    PPR_SEEDS = [0, 9, 33]
+    PPR_ITERS = 5
+
+    def _ppr(spark, sf):
+        ranks = personalized_pagerank_fixed(
+            spark,
+            symmetrize(raw_edges(spark, sf)),
+            PPR_SEEDS,
+            n_iterations=PPR_ITERS,
+            vertices=doc_vertices(spark, sf),
+        )
+        return ranks.orderBy(F.desc("rank"), F.asc("vertex")).limit(20)
+
+    q("ppr_top20", _ppr, _ppr_fixed_sql(PPR_SEEDS, PPR_ITERS, top=20))
+
+    # HITS over the directed cyclic graph: block heads collect the star
+    # in-links (authorities), members point at heads (hubs)
+    HITS_ITERS = 5
+
+    def _hits(spark, sf):
+        return hits_fixed(
+            spark,
+            raw_directed_edges(spark, sf),
+            n_iterations=HITS_ITERS,
+            vertices=doc_vertices(spark, sf),
+        )
+
+    q("hits_scores", _hits, _hits_fixed_sql(HITS_ITERS))
+
+    # SCC of the directed graph — full blocks are 8-cycles (one SCC
+    # each), the trailing partial block trims to singletons; label = min
+    # member, so the recursive mutual-reachability closure is an exact
+    # integer oracle
+    def _scc(spark, sf):
+        labels, _ = scc(
+            spark, raw_directed_edges(spark, sf), vertices=doc_vertices(spark, sf)
+        )
+        return labels
+
+    q(
+        "scc_labels",
+        _scc,
+        f"""WITH RECURSIVE {DIR_SQL},
+        verts AS (SELECT doc_id AS v FROM documents),
+        reach(s, d) AS (
+          SELECT src, dst FROM dir
+          UNION
+          SELECT r.s, e.dst FROM reach r JOIN dir e ON e.src = r.d
+        ),
+        mutual AS (
+          SELECT a.s AS u, a.d AS w FROM reach a
+          JOIN reach b ON b.s = a.d AND b.d = a.s
+        )
+        SELECT v.v AS vertex, least(v.v, coalesce(min(m.w), v.v)) AS label
+        FROM verts v LEFT JOIN mutual m ON m.u = v.v GROUP BY v.v""",
+    )
 
     LPA_ITERS = 8
 

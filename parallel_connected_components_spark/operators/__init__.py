@@ -19,7 +19,14 @@ from .cc import (  # noqa: F401
     normalize_labels,
     union_find_oracle,
 )
-from .pagerank import pagerank, pagerank_fixed, pagerank_numpy_oracle  # noqa: F401
+from .pagerank import (  # noqa: F401
+    pagerank,
+    pagerank_fixed,
+    pagerank_numpy_oracle,
+    personalized_pagerank_fixed,
+)
+from .hits import hits_fixed, hits_numpy_oracle  # noqa: F401
+from .scc import scc, scc_python_oracle  # noqa: F401
 from .lpa import label_propagation_communities  # noqa: F401
 from .triangles import triangle_count, triangles_per_vertex  # noqa: F401
 from .stats import (  # noqa: F401

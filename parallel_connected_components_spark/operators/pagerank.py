@@ -207,6 +207,17 @@ def pagerank(
     return final.select("vertex", "rank"), runner
 
 
+def _ordered_fold(pairs_struct):
+    """Left fold over the key-sorted struct array; 0.0 + x == x exactly in
+    IEEE754, so the fold equals w1 + w2 + … in ascending-key order — the
+    order-deterministic summation shared by every cross-engine-exact
+    fixpoint twin here (DuckDB side: list_reduce over list_prepend(0.0,
+    list(w ORDER BY k)))."""
+    return F.aggregate(
+        F.array_sort(pairs_struct), F.lit(0.0), lambda acc, x: acc + x["w"]
+    )
+
+
 def pagerank_fixed(
     spark: SparkSession,
     edges: DataFrame,
@@ -251,13 +262,6 @@ def pagerank_fixed(
     base = (1.0 - damping) / n  # driver-side literal, shared with the SQL twin
     state = vo.select("vertex", "outdeg", F.lit(1.0 / n).alias("rank"))
 
-    def _ordered_fold(pairs_struct):
-        # left fold over the sorted struct array; 0.0 + x == x exactly in
-        # IEEE754, so the fold equals w1 + w2 + … in ascending-key order
-        return F.aggregate(
-            F.array_sort(pairs_struct), F.lit(0.0), lambda acc, x: acc + x["w"]
-        )
-
     for _ in range(n_iterations):
         dang = state.filter(F.col("outdeg") == 0).agg(
             _ordered_fold(
@@ -291,6 +295,109 @@ def pagerank_fixed(
                     * (
                         F.coalesce("contrib", F.lit(0.0))
                         + F.col("dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return state.select("vertex", "rank")
+
+
+def personalized_pagerank_fixed(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: list[int],
+    n_iterations: int = 5,
+    damping: float = 0.85,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Random-walk-with-restart proximity to a seed set — personalized
+    PageRank with the teleport vector t(v) = 1/|S| on the seeds and 0
+    elsewhere (dangling mass also restarts at the seeds):
+
+        r_0 = t
+        r_{t+1}(v) = (1-d)·t(v) + d·( Σ_{u→v} r_t(u)/outdeg(u) + D_t·t(v) )
+
+    Same order-deterministic fold discipline as :func:`pagerank_fixed`
+    (per-vertex contributions fold source-id-sorted arrays, the dangling
+    mass folds vertex-sorted (vertex, rank) pairs, 1/|S| is one
+    driver-computed literal injected into both plans), so an independent
+    SQL engine reproduces every score bit-exactly — DuckDB twin:
+    entry._ppr_fixed_sql(). ``vertices`` (optional, must be a SUPERSET of
+    the edge endpoints — same contract as pagerank) adds isolated
+    vertices: isolated seeds keep their restart mass, isolated non-seeds
+    score exactly 0.
+
+    Plan shape per iteration matches pagerank_fixed: one edges⋈ranks
+    shuffle join, one repartition+fold on dst, one left join back — the
+    seed membership test is a literal IN over a small driver list, never
+    a join. Scale note: scores are nonzero only on the seed set's
+    out-reachability cone, so at 100 TB the natural deployment runs many
+    seed sets batched through one edge pin; the per-vertex fold is
+    bounded by max in-degree (the packed-adjacency gather), not graph
+    size."""
+    if not seeds:
+        raise ValueError("personalized_pagerank_fixed needs >= 1 seed")
+    seed_ids = sorted(set(int(s) for s in seeds))
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    verts = (vertices.select("id") if vertices is not None else vertices_of(e)).localCheckpoint(
+        eager=True
+    )
+    e, n_part = pin_edges(spark, e)
+    outdeg = e.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("outdeg"))
+    tele_w = 1.0 / len(seed_ids)  # driver-side literal, shared with the SQL twin
+
+    def _tele(col):
+        return F.when(col.isin(seed_ids), F.lit(tele_w)).otherwise(F.lit(0.0))
+
+    vo = (
+        verts.select(F.col("id").alias("vertex"))
+        .join(outdeg, "vertex", "left")
+        .select(
+            "vertex",
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            _tele(F.col("vertex")).alias("tele"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    state = vo.select("vertex", "outdeg", "tele", F.col("tele").alias("rank"))
+    for _ in range(n_iterations):
+        dang = state.filter(F.col("outdeg") == 0).agg(
+            _ordered_fold(
+                F.collect_list(
+                    F.struct(F.col("vertex").alias("k"), F.col("rank").alias("w"))
+                )
+            ).alias("dm")
+        )
+        w = state.filter(F.col("outdeg") > 0).select(
+            F.col("vertex").alias("src"), (F.col("rank") / F.col("outdeg")).alias("w")
+        ).hint("shuffle_hash")
+        contribs = (
+            e.join(w, "src")
+            .select("dst", "src", "w")
+            .repartition(n_part, "dst")
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(
+                _ordered_fold(
+                    F.collect_list(F.struct(F.col("src").alias("k"), F.col("w").alias("w")))
+                ).alias("contrib")
+            )
+        )
+        state = (
+            state.select("vertex", "outdeg", "tele")
+            .join(contribs, "vertex", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "vertex",
+                "outdeg",
+                "tele",
+                (
+                    F.lit(1.0 - damping) * F.col("tele")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("dm") * F.col("tele")
                     )
                 ).alias("rank"),
             )

@@ -95,6 +95,20 @@ def test_bucketize_pages_layout_has_no_vertex_universe(
     assert _last_json(capsys)["num_components"] == bucketed_n
 
 
+def test_cli_scc_mtx_counts_cycle_and_isolated(cli, tmp_path, capsys):
+    # 0-indexed: DAG {0,1,2} (3 singletons) + cycle {3,4,5} (1 SCC)
+    # + isolated 6..9 from the header range -> 8 SCCs
+    mtx = tmp_path / "d.mtx"
+    mtx.write_text(
+        "%%MatrixMarket matrix coordinate pattern general\n"
+        "10 10 6\n1 2\n2 3\n1 3\n4 5\n5 6\n6 4\n"
+    )
+    cli.main(["scc", "--mtx", str(mtx)])
+    out = _last_json(capsys)
+    assert out["num_sccs"] == 8
+    assert out["rounds"] >= 1
+
+
 def test_bucketed_rejects_incompatible_flags(cli, tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["cc", "--bucketed", str(tmp_path), "--resume"])
