@@ -9,10 +9,11 @@ training-data ops (token/quality/lang/fingerprint, exact + MinHash +
 SimHash + n-gram-Jaccard dedup incl. end-to-end dup_clusters,
 brute-force kNN, real PPM/PNG/JPEG/WAV multimodal decode, events
 windows, TPC-H-style star joins, MP3/MP4 container metadata) and the
-directed-link-graph trio added r5: personalized PageRank, HITS
-hubs/authorities, SCC via trim+coloring — each bit-exact against an
-unrolled (PPR/HITS) or recursive-closure (SCC) DuckDB twin. 48 queries,
-48 exact DuckDB oracles.
+r5 link-graph additions: personalized PageRank, HITS
+hubs/authorities, SCC via trim+coloring, k-core decomposition
+(iterated H-index), and multi-source k-hop BFS — each bit-exact
+against an unrolled or recursive-closure DuckDB twin. 50 queries,
+50 exact DuckDB oracles.
 """
 
 from __future__ import annotations

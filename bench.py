@@ -236,6 +236,31 @@ def main() -> None:
 
     timed("scc", run_scc)
 
+    # -- structural ops (round 5; aside — new surface, kept out of the
+    # comparable suite total so cross-round sums stay meaningful) ------------
+    def run_coreness():
+        from parallel_connected_components_spark.operators import coreness
+
+        cores, runner = coreness(spark, edges_sym)
+        extra["coreness_max"] = cores.agg(F.max("core")).collect()[0][0]
+        extra["coreness_rounds"] = runner.num_iterations
+
+    timed_aside("coreness", run_coreness)
+
+    def run_khop():
+        from parallel_connected_components_spark.operators import bfs_hops
+
+        # vertex ids are url hashes (NOT 0..n): seeds must come from the
+        # graph itself — the 32 smallest ids are a deterministic sample,
+        # uniformly spread across blocks since the ids are hash-random
+        seeds = (
+            edges_sym.select(F.col("src").alias("id")).distinct().orderBy("id").limit(32)
+        )
+        dists, _ = bfs_hops(spark, edges_sym, seeds, max_hops=4)
+        extra["khop4_reached"] = dists.count()
+
+    timed_aside("khop4_bfs", run_khop)
+
     # -- LPA (bounded) + triangles -------------------------------------------
     timed(
         "lpa_8iter",

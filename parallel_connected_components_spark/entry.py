@@ -49,8 +49,10 @@ from .operators.cc import (
     cc_two_phase,
 )
 from .operators.dedup import exact_duplicates, minhash_signatures, simhash_signatures
+from .operators.bfs import bfs_hops
 from .operators.graph import canonicalize, degree_stats, degrees, symmetrize
 from .operators.hits import hits_fixed
+from .operators.kcore import coreness
 from .operators.lpa import label_propagation_communities
 from .operators.pagerank import pagerank_fixed, personalized_pagerank_fixed
 from .operators.scc import scc
@@ -388,6 +390,67 @@ def _hits_fixed_sql(n_iterations: int) -> str:
     )
 
 
+def _coreness_sql(n_rounds: int) -> str:
+    """Unrolled iterated-H-index coreness (DuckDB), exact integer twin of
+    operators.kcore.coreness over the SYM graph. ``n_rounds`` must be >=
+    the Spark fixpoint's round count (extra rounds are no-ops — the
+    recurrence is stationary at the fixpoint); the window-rank H-index
+    (max rank whose desc-sorted value still >= rank) is tie-order
+    invariant, so the arbitrary ORDER BY tiebreak is harmless."""
+    ctes = [
+        "sym2 AS MATERIALIZED (SELECT src, dst FROM sym)",
+        "verts2 AS MATERIALIZED (SELECT doc_id AS vertex FROM documents)",
+        """h0 AS MATERIALIZED (SELECT v.vertex,
+             CAST(coalesce(d.c, 0) AS BIGINT) AS core
+           FROM verts2 v LEFT JOIN
+             (SELECT src, count(*) AS c FROM sym2 GROUP BY src) d
+             ON d.src = v.vertex)""",
+    ]
+    for t in range(n_rounds):
+        ctes.append(
+            f"""r{t} AS (SELECT e.dst AS vertex, h.core,
+              row_number() OVER (PARTITION BY e.dst ORDER BY h.core DESC) AS rn
+              FROM sym2 e JOIN h{t} h ON h.vertex = e.src)"""
+        )
+        ctes.append(
+            f"""h{t + 1} AS MATERIALIZED (SELECT p.vertex,
+              least(p.core, CAST(coalesce(n.h, 0) AS BIGINT)) AS core
+              FROM h{t} p LEFT JOIN
+                (SELECT vertex, max(CASE WHEN core >= rn THEN rn END) AS h
+                 FROM r{t} GROUP BY vertex) n ON n.vertex = p.vertex)"""
+        )
+    return (
+        f"WITH {SYM_SQL}, "
+        + ",\n  ".join(ctes)
+        + f"\n  SELECT vertex, core FROM h{n_rounds}"
+    )
+
+
+def _khop_sql(max_hops: int) -> str:
+    """Unrolled multi-source BFS over the DIR graph (DuckDB), exact
+    integer twin of operators.bfs.bfs_hops seeded at the block heads:
+    per round the frontier (dist = round) sends dist+1, min() settles."""
+    ctes = [
+        "dir2 AS MATERIALIZED (SELECT src, dst FROM dir)",
+        f"""d0 AS MATERIALIZED (SELECT doc_id AS vertex, CAST(0 AS BIGINT) AS dist
+           FROM documents WHERE doc_id % {BLOCK} = 0)""",
+    ]
+    for t in range(max_hops):
+        ctes.append(
+            f"""d{t + 1} AS MATERIALIZED (SELECT vertex, min(dist) AS dist FROM (
+              SELECT vertex, dist FROM d{t}
+              UNION ALL
+              SELECT e.dst, d.dist + 1 FROM dir2 e
+                JOIN d{t} d ON d.vertex = e.src AND d.dist = {t}
+            ) GROUP BY vertex)"""
+        )
+    return (
+        f"WITH {DIR_SQL}, "
+        + ",\n  ".join(ctes)
+        + f"\n  SELECT vertex, dist FROM d{max_hops}"
+    )
+
+
 def _lpa_fixed_sql(n_iterations: int) -> str:
     """Unrolled bounded-iteration LPA (DuckDB), exact integer twin of
     operators.lpa.label_propagation_communities: per round, each vertex
@@ -653,6 +716,41 @@ def build_queries():
         SELECT v.v AS vertex, least(v.v, coalesce(min(m.w), v.v)) AS label
         FROM verts v LEFT JOIN mutual m ON m.u = v.v GROUP BY v.v""",
     )
+
+    # coreness over the undirected graph — iterated H-index fixpoint;
+    # the twin unrolls CORENESS_SQL_ROUNDS rounds (>= the fixpoint depth:
+    # the peel cascade is bounded by the within-block chain, length
+    # BLOCK; test_kcore pins the slack)
+    CORENESS_SQL_ROUNDS = 16
+
+    def _coreness(spark, sf):
+        cores, _ = coreness(
+            spark,
+            symmetrize(raw_edges(spark, sf)),
+            vertices=doc_vertices(spark, sf),
+        )
+        return cores
+
+    q("coreness", _coreness, _coreness_sql(CORENESS_SQL_ROUNDS))
+
+    # k-hop forward neighborhood of the block-head seed set over the
+    # directed graph — the seed-expansion primitive; hop 6 leaves the
+    # deepest chain position (7 hops from every head) unreached, so the
+    # cap is exercised, not just the exhaustion fixpoint
+    KHOP = 6
+
+    def _khop(spark, sf):
+        heads = (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") % BLOCK == 0)
+            .select(F.col("doc_id").alias("id"))
+        )
+        dists, _ = bfs_hops(
+            spark, raw_directed_edges(spark, sf), heads, max_hops=KHOP
+        )
+        return dists
+
+    q("khop_neighborhood", _khop, _khop_sql(KHOP))
 
     LPA_ITERS = 8
 

@@ -1,0 +1,176 @@
+"""k-core decomposition (coreness) of the undirected link graph.
+
+Target-only capability: the reference computes CC only, but coreness is
+the standard next notch on the same gather/apply skeleton
+(/root/reference/src/cc_openmp.c:38-142 with min() swapped for the
+H-index), and a first-class crawl-quality signal — the k-core separates
+a web graph's densely-linked center from its tendrils far more finely
+than component size does, so it is a routine filter in link-graph-based
+training-data curation (keep documents whose pages sit in a deep core).
+
+Algorithm: iterated neighborhood H-index (Lü, Zhou, Zhang, Stanley,
+"The H-index of a network node and its relation to degree and
+coreness", Nat. Commun. 2016):
+
+    c_0(v)  = deg(v)
+    c_t+1(v) = H({c_t(u) : u ~ v})     (H = largest h with >= h
+                                        neighbor values >= h)
+
+The sequence is pointwise non-increasing and its fixpoint is exactly
+the coreness. Unlike the classic sequential peel (remove min-degree
+vertices one by one — inherently serial), every vertex updates
+independently per round from neighbor state only, which is the same
+message-passing shape as this package's CC/PageRank loops: one
+edges ⋈ state shuffle join, one repartition+agg on the receiver, the
+H-index evaluated JVM-side as a fold over the desc-sorted neighbor
+array (no Python in the loop). Convergence rides the materialization
+job via Observation — zero extra actions per round. At 100 TB the
+per-vertex fold is bounded by max degree (same packed-adjacency gather
+bound as pagerank_fixed); rounds are bounded by the peel-cascade depth,
+which on bowtie-shaped web graphs is small (the dense core stabilizes
+immediately; only tendril chains cascade).
+
+Exactness anchors: the DuckDB twin (entry._coreness_sql) unrolls the
+same integer recurrence with a window-rank H-index; tests run a
+differential against the independent sequential peel
+(:func:`coreness_python_oracle`) on random graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+
+from ..plans.runner import FixpointRunner
+from .graph import pin_edges, vertices_of
+
+
+def _h_index(values_desc):
+    """JVM fold: H-index of a DESC-sorted integer array. Walk the array
+    with a (position, best) accumulator — position i (1-based) qualifies
+    while value >= i; sorted desc makes the qualifying prefix maximal."""
+    return F.aggregate(
+        values_desc,
+        F.struct(F.lit(0).alias("i"), F.lit(0).alias("h")),
+        lambda acc, x: F.struct(
+            (acc["i"] + 1).alias("i"),
+            F.when(x >= acc["i"] + 1, acc["i"] + 1).otherwise(acc["h"]).alias("h"),
+        ),
+        lambda acc: acc["h"],
+    )
+
+
+def coreness(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iterations: int = 200,
+) -> tuple[DataFrame, FixpointRunner]:
+    """→ ((vertex long, core long), runner). ``core`` = the coreness
+    (largest k such that the vertex survives in the k-core) of the
+    UNDIRECTED graph; pass symmetrized edges (direction is ignored only
+    if you ignore it — this operator uses the edge table as given, so
+    symmetrize first exactly as for CC). Self-loops dropped, duplicate
+    edges deduped; ``vertices`` (optional superset of endpoints) adds
+    isolated vertices with core 0."""
+    e_raw = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    e = e_raw.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    verts = (
+        (vertices.select("id") if vertices is not None else vertices_of(e_raw))
+        .select(F.col("id").cast("long").alias("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    e, n_part = pin_edges(spark, e)
+
+    init = (
+        verts.join(
+            e.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("core")),
+            "vertex",
+            "left",
+        ).select("vertex", F.coalesce("core", F.lit(0)).cast("long").alias("core"))
+    )
+
+    obs_holder: dict[int, Observation] = {}
+
+    def step(state: DataFrame, it: int) -> DataFrame:
+        # carrier-row update (PLANS.md §7): old core rides the message
+        # shuffle as tagged self rows; ONE agg computes the H-index of
+        # the gathered neighbor values + the changed flag. A vertex with
+        # no incoming rows besides its own keeps core (0-degree ⇒ H=0 ⇒
+        # already 0 from init — min(old, H) also guards monotonicity).
+        msgs = (
+            e.join(
+                state.select(F.col("vertex").alias("src"), "core").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("vertex"), "core", F.lit(False).alias("is_self"))
+        )
+        own = state.select("vertex", "core", F.lit(True).alias("is_self"))
+        obs = Observation()
+        obs_holder[it] = obs
+        return (
+            msgs.union(own)
+            .repartition(n_part, "vertex")
+            .groupBy("vertex")
+            .agg(
+                _h_index(
+                    F.sort_array(
+                        F.collect_list(F.when(~F.col("is_self"), F.col("core"))),
+                        asc=False,
+                    )
+                )
+                .cast("long")
+                .alias("_h"),
+                F.max(F.when(F.col("is_self"), F.col("core"))).alias("_old"),
+            )
+            .select(
+                "vertex",
+                F.least("_h", "_old").alias("core"),
+                (F.least("_h", "_old") < F.col("_old")).alias("changed"),
+            )
+            .observe(obs, F.sum(F.col("changed").cast("long")).alias("changed"))
+        )
+
+    def converged(new_state: DataFrame, it: int):
+        return obs_holder.pop(it).get["changed"] or 0, {}
+
+    runner = FixpointRunner(spark, "coreness", max_iterations=max_iterations)
+    out = runner.run(init, step, converged)
+    e.unpersist()
+    return out.select("vertex", "core"), runner
+
+
+def coreness_python_oracle(edge_list, vertex_ids=None) -> dict[int, int]:
+    """Independent sequential peel (Batagelj–Zaveršnik order): repeatedly
+    delete a minimum-degree vertex; its coreness is the running maximum
+    of the minimum degree seen. Test-scale differential anchor only."""
+    import heapq
+
+    verts = set(int(v) for v in (vertex_ids or []))
+    adj: dict[int, set[int]] = {}
+    for u, v in edge_list:
+        u, v = int(u), int(v)
+        verts.add(u)
+        verts.add(v)
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    deg = {v: len(adj.get(v, ())) for v in verts}
+    heap = [(d, v) for v, d in deg.items()]
+    heapq.heapify(heap)
+    removed: set[int] = set()
+    out: dict[int, int] = {}
+    k = 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v in removed or d != deg[v]:
+            continue  # stale heap entry
+        k = max(k, d)
+        out[v] = k
+        removed.add(v)
+        for w in adj.get(v, ()):
+            if w not in removed:
+                deg[w] -= 1
+                heapq.heappush(heap, (deg[w], w))
+    return out
