@@ -17,6 +17,8 @@ cc_openmp / cc_mpi all compute the same thing on one graph,
                (--bucketed DIR scans a bucketize layout, zero exchange)
     scc        strongly connected components of the DIRECTED graph
                (trim+coloring; operators/scc.py)
+    kcore      coreness (k-core decomposition) of the undirected graph
+    bfs        multi-source hop distance (--seeds, optional --max-hops)
     pagerank   PageRank to 1e-6 (--bucketed supported)
     lpa        community label propagation
     triangles  triangle count
@@ -98,7 +100,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "command",
         choices=[
-            "gen", "bucketize", "cc", "scc", "pagerank", "lpa", "triangles", "stats",
+            "gen", "bucketize", "cc", "scc", "pagerank", "lpa", "triangles",
+            "kcore", "bfs", "stats",
         ],
     )
     p.add_argument("--pages", help="pages parquet path (url/warc_ts/html/text/lang)")
@@ -120,6 +123,11 @@ def main(argv: list[str] | None = None) -> int:
         "cluster pick ~2-4x total executor cores)",
     )
     p.add_argument("--out", help="output parquet dir (labels/ranks)")
+    p.add_argument("--seeds", help="bfs: comma list of seed vertex ids")
+    p.add_argument(
+        "--max-hops", type=int, default=0,
+        help="bfs: cap expansion at this many hops (0 = to exhaustion)",
+    )
     p.add_argument("--num-pages", type=int, default=10000)
     p.add_argument("--num-components", type=int, default=8)
     p.add_argument("--links-per-page", type=int, default=3)
@@ -408,6 +416,40 @@ def main(argv: list[str] | None = None) -> int:
         elif args.command == "triangles":
             edges, _ = _load_edges(spark, args)
             out["triangles"] = triangle_count(spark, edges, orient_by_degree=True)
+        elif args.command == "kcore":
+            from .operators import coreness as _coreness
+
+            edges, verts = _load_edges(spark, args)
+            cores, runner = _coreness(
+                spark, symmetrize(edges),
+                # MTX header range only (superset guarantee, as pagerank)
+                vertices=verts if args.mtx else None,
+            )
+            row = cores.agg(
+                F.max("core").alias("mx"),
+                F.sum(F.when(F.col("core") >= 2, 1).otherwise(0)).alias("c2"),
+            ).collect()[0]
+            out["max_core"] = row["mx"]
+            out["vertices_core_ge2"] = row["c2"]
+            out["rounds"] = runner.num_iterations
+            if args.out:
+                cores.write.mode("overwrite").parquet(args.out)
+        elif args.command == "bfs":
+            from .operators import bfs_hops as _bfs
+
+            if not args.seeds:
+                raise SystemExit("bfs requires --seeds id[,id...]")
+            edges, _ = _load_edges(spark, args)
+            seed_ids = [int(s) for s in args.seeds.split(",") if s.strip()]
+            seeds = spark.createDataFrame([(s,) for s in seed_ids], "id long")
+            dists, runner = _bfs(
+                spark, edges, seeds,
+                max_hops=args.max_hops if args.max_hops > 0 else None,
+            )
+            out["reached"] = dists.count()
+            out["rounds"] = runner.num_iterations
+            if args.out:
+                dists.write.mode("overwrite").parquet(args.out)
         elif args.command == "stats":
             edges, verts = _load_edges(spark, args)
             out["degrees"] = degree_stats(symmetrize(edges)).collect()[0].asDict()

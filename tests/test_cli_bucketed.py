@@ -109,6 +109,37 @@ def test_cli_scc_mtx_counts_cycle_and_isolated(cli, tmp_path, capsys):
     assert out["rounds"] >= 1
 
 
+def test_cli_kcore_mtx_triangle_plus_tail(cli, tmp_path, capsys):
+    # 0-indexed: triangle {0,1,2} (core 2) + path 3-4-5 (core 1)
+    # + isolated 6..9 (core 0) from the header range
+    mtx = tmp_path / "k.mtx"
+    mtx.write_text(MTX)
+    cli.main(["kcore", "--mtx", str(mtx)])
+    out = _last_json(capsys)
+    assert out["max_core"] == 2
+    assert out["vertices_core_ge2"] == 3
+    assert out["rounds"] >= 1
+
+
+def test_cli_bfs_seeds_and_cap(cli, tmp_path, capsys):
+    # directed 0->1->2, 0->2; 3->4->5 unreachable from 0
+    mtx = tmp_path / "b.mtx"
+    mtx.write_text(MTX)
+    cli.main(["bfs", "--mtx", str(mtx), "--seeds", "0"])
+    assert _last_json(capsys)["reached"] == 3
+    cli.main(["bfs", "--mtx", str(mtx), "--seeds", "0,3", "--max-hops", "1"])
+    out = _last_json(capsys)
+    assert out["reached"] == 5  # {0,1,2} via 0 (2 is 1 hop: edge 0->2) + {3,4}
+    assert out["rounds"] == 1
+
+
+def test_cli_bfs_requires_seeds(cli, tmp_path):
+    mtx = tmp_path / "s.mtx"
+    mtx.write_text(MTX)
+    with pytest.raises(SystemExit):
+        cli.main(["bfs", "--mtx", str(mtx)])
+
+
 def test_bucketed_rejects_incompatible_flags(cli, tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["cc", "--bucketed", str(tmp_path), "--resume"])
