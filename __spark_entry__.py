@@ -11,9 +11,9 @@ brute-force kNN, real PPM/PNG/JPEG/WAV multimodal decode, events
 windows, TPC-H-style star joins, MP3/MP4 container metadata) and the
 r5 link-graph additions: personalized PageRank, HITS
 hubs/authorities, SCC via trim+coloring, k-core decomposition
-(iterated H-index), and multi-source k-hop BFS — each bit-exact
-against an unrolled or recursive-closure DuckDB twin. 50 queries,
-50 exact DuckDB oracles.
+(iterated H-index), multi-source k-hop BFS, and ANF neighborhood
+sketches — each bit-exact against an unrolled or recursive-closure
+DuckDB twin. 51 queries, 51 exact DuckDB oracles.
 """
 
 from __future__ import annotations

@@ -49,6 +49,7 @@ from .operators.cc import (
     cc_two_phase,
 )
 from .operators.dedup import exact_duplicates, minhash_signatures, simhash_signatures
+from .operators.anf import anf
 from .operators.bfs import bfs_hops
 from .operators.graph import canonicalize, degree_stats, degrees, symmetrize
 from .operators.hits import hits_fixed
@@ -451,6 +452,52 @@ def _khop_sql(max_hops: int) -> str:
     )
 
 
+def _anf_sql(rounds: int, num_registers: int = 4) -> str:
+    """Unrolled ANF sketch propagation (DuckDB), exact integer twin of
+    operators.anf.anf over the SYM graph: identical portable md5 hash,
+    trailing-zero init, per-round bit_or gather, lowest-zero-bit finish
+    (xor(m, m+1) — ``^`` is power in DuckDB, so the function form). As
+    with coreness, ``rounds`` past the sketch fixpoint are no-ops."""
+    from .functions.hashing import portable_hash64_sql
+
+    regs = list(range(num_registers))
+
+    def init(i: int) -> str:
+        h = portable_hash64_sql(f"CAST(vertex AS VARCHAR) || ':{i}'")
+        return (
+            f"(1::BIGINT << least(bit_count(({h} & -{h}) - 1), 62)) AS m{i}"
+        )
+
+    ctes = [
+        "sym2 AS MATERIALIZED (SELECT src, dst FROM sym)",
+        "verts2 AS MATERIALIZED (SELECT doc_id AS vertex FROM documents)",
+        "n0 AS MATERIALIZED (SELECT vertex, "
+        + ", ".join(init(i) for i in regs)
+        + " FROM verts2)",
+    ]
+    for t in range(rounds):
+        ors = ", ".join(f"bit_or(m.m{i}) AS o{i}" for i in regs)
+        ctes.append(
+            f"""a{t} AS (SELECT e.dst AS vertex, {ors}
+              FROM sym2 e JOIN n{t} m ON m.vertex = e.src GROUP BY e.dst)"""
+        )
+        merged = ", ".join(
+            f"s.m{i} | coalesce(g.o{i}, 0::BIGINT) AS m{i}" for i in regs
+        )
+        ctes.append(
+            f"""n{t + 1} AS MATERIALIZED (SELECT s.vertex, {merged}
+              FROM n{t} s LEFT JOIN a{t} g ON g.vertex = s.vertex)"""
+        )
+    finals = ", ".join(
+        f"CAST(bit_count(xor(m{i}, m{i} + 1)) - 1 AS BIGINT) AS r{i}" for i in regs
+    )
+    return (
+        f"WITH {SYM_SQL}, "
+        + ",\n  ".join(ctes)
+        + f"\n  SELECT vertex, {finals} FROM n{rounds}"
+    )
+
+
 def _lpa_fixed_sql(n_iterations: int) -> str:
     """Unrolled bounded-iteration LPA (DuckDB), exact integer twin of
     operators.lpa.label_propagation_communities: per round, each vertex
@@ -751,6 +798,23 @@ def build_queries():
         return dists
 
     q("khop_neighborhood", _khop, _khop_sql(KHOP))
+
+    # ANF sketches over the undirected graph — 4 FM registers, 4 rounds;
+    # everything through the register indexes is integer bit math, so
+    # the gate compares exactly (the float ball estimate is a separate
+    # non-gated convenience, operators.anf.neighborhood_estimate)
+    ANF_ROUNDS = 4
+
+    def _anf(spark, sf):
+        sketches, _ = anf(
+            spark,
+            symmetrize(raw_edges(spark, sf)),
+            rounds=ANF_ROUNDS,
+            vertices=doc_vertices(spark, sf),
+        )
+        return sketches
+
+    q("anf_balls", _anf, _anf_sql(ANF_ROUNDS))
 
     LPA_ITERS = 8
 
