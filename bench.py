@@ -261,6 +261,19 @@ def main() -> None:
 
     timed_aside("khop4_bfs", run_khop)
 
+    def run_anf():
+        from parallel_connected_components_spark.operators import (
+            anf,
+            effective_diameter,
+        )
+
+        sketches, runner = anf(spark, edges_sym, rounds=6)
+        sketches.count()
+        extra["anf_rounds"] = runner.num_iterations
+        extra["anf_effective_diameter_90"] = effective_diameter(runner, 0.9)
+
+    timed_aside("anf6", run_anf)
+
     # -- LPA (bounded) + triangles -------------------------------------------
     timed(
         "lpa_8iter",

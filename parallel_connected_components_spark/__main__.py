@@ -19,6 +19,7 @@ cc_openmp / cc_mpi all compute the same thing on one graph,
                (trim+coloring; operators/scc.py)
     kcore      coreness (k-core decomposition) of the undirected graph
     bfs        multi-source hop distance (--seeds, optional --max-hops)
+    anf        neighborhood-function sketches + effective diameter
     pagerank   PageRank to 1e-6 (--bucketed supported)
     lpa        community label propagation
     triangles  triangle count
@@ -101,7 +102,7 @@ def main(argv: list[str] | None = None) -> int:
         "command",
         choices=[
             "gen", "bucketize", "cc", "scc", "pagerank", "lpa", "triangles",
-            "kcore", "bfs", "stats",
+            "kcore", "bfs", "anf", "stats",
         ],
     )
     p.add_argument("--pages", help="pages parquet path (url/warc_ts/html/text/lang)")
@@ -127,6 +128,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--max-hops", type=int, default=0,
         help="bfs: cap expansion at this many hops (0 = to exhaustion)",
+    )
+    p.add_argument(
+        "--rounds", type=int, default=8,
+        help="anf: sketch-propagation rounds (stops early at saturation)",
     )
     p.add_argument("--num-pages", type=int, default=10000)
     p.add_argument("--num-components", type=int, default=8)
@@ -434,6 +439,26 @@ def main(argv: list[str] | None = None) -> int:
             out["rounds"] = runner.num_iterations
             if args.out:
                 cores.write.mode("overwrite").parquet(args.out)
+        elif args.command == "anf":
+            from .operators import anf as _anf
+            from .operators import effective_diameter as _effdiam
+
+            edges, verts = _load_edges(spark, args)
+            sketches, runner = _anf(
+                spark, symmetrize(edges), rounds=args.rounds,
+                # MTX header range only (superset guarantee, as pagerank)
+                vertices=verts if args.mtx else None,
+            )
+            sketches.count()  # drive the loop; metrics carry N(t)
+            out["rounds"] = runner.num_iterations
+            out["neighborhood_function"] = [
+                round(m.extra["neighborhood_function"], 1)
+                for m in runner.metrics
+                if "neighborhood_function" in m.extra
+            ]
+            out["effective_diameter_90"] = _effdiam(runner, ratio=0.9)
+            if args.out:
+                sketches.write.mode("overwrite").parquet(args.out)
         elif args.command == "bfs":
             from .operators import bfs_hops as _bfs
 

@@ -29,7 +29,12 @@ from .hits import hits_fixed, hits_numpy_oracle  # noqa: F401
 from .scc import scc, scc_python_oracle  # noqa: F401
 from .kcore import coreness, coreness_python_oracle  # noqa: F401
 from .bfs import bfs_hops, bfs_python_oracle  # noqa: F401
-from .anf import anf, anf_python_oracle, neighborhood_estimate  # noqa: F401
+from .anf import (  # noqa: F401
+    anf,
+    anf_python_oracle,
+    effective_diameter,
+    neighborhood_estimate,
+)
 from .lpa import label_propagation_communities  # noqa: F401
 from .triangles import triangle_count, triangles_per_vertex  # noqa: F401
 from .stats import (  # noqa: F401

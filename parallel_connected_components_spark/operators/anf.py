@@ -124,15 +124,27 @@ def anf(
         for m in regs:
             c = F.col(m) != F.col(f"_o{m}")
             changed = c if changed is None else (changed | c)
+        # the global neighborhood function N(t) = Σ_v |ball_t(v)| rides
+        # the SAME Observation (one more aggregate expression in the
+        # materialization job — still zero extra actions per round):
+        # per-row FM estimate 2^(mean lowest-zero index) / 0.77351
+        mean_r = sum(
+            (F.bit_count(F.col(m).bitwiseXOR(F.col(m) + 1)) - 1) for m in regs
+        ) / float(len(regs))
+        nf = F.sum(F.pow(F.lit(2.0), mean_r) / F.lit(0.77351))
         return merged.select("vertex", *regs, changed.alias("changed")).observe(
-            obs, F.sum(F.col("changed").cast("long")).alias("changed")
+            obs,
+            F.sum(F.col("changed").cast("long")).alias("changed"),
+            nf.alias("nf"),
         )
 
     def converged(new_state: DataFrame, it: int):
-        grew = obs_holder.pop(it).get["changed"] or 0
+        got = obs_holder.pop(it).get
+        grew = got["changed"] or 0
+        extra = {"grew": grew, "neighborhood_function": got["nf"]}
         if it + 1 >= rounds:
-            return 0, {"grew": grew}
-        return grew, {"grew": grew}
+            return 0, extra
+        return grew, extra
 
     runner = FixpointRunner(spark, "anf", max_iterations=max(rounds, 1))
     out = runner.run(init, step, converged)
@@ -151,6 +163,28 @@ def neighborhood_estimate(df: DataFrame, num_registers: int = 4) -> DataFrame:
     return df.select(
         "vertex", (F.pow(F.lit(2.0), mean_r) / F.lit(0.77351)).alias("ball_estimate")
     )
+
+
+def effective_diameter(runner: FixpointRunner, ratio: float = 0.9) -> int | None:
+    """Boldi/Vigna-style effective diameter from the per-round global
+    neighborhood function recorded in the runner's metrics: the smallest
+    hop count t whose N(t) reaches ``ratio`` of the final (saturated or
+    last-measured) N. 1-based hops; None if no rounds ran. Note the
+    estimate inherits FM variance — at the default 4 registers it is a
+    coarse-but-monotone curve, good for \"is the diameter ~5 or ~50\"
+    decisions (e.g. cc_auto-style algorithm selection), not decimals."""
+    nfs = [
+        m.extra["neighborhood_function"]
+        for m in runner.metrics
+        if "neighborhood_function" in m.extra
+    ]
+    if not nfs:
+        return None
+    target = ratio * nfs[-1]
+    for t, v in enumerate(nfs, start=1):
+        if v >= target:
+            return t
+    return len(nfs)
 
 
 def anf_python_oracle(

@@ -58,6 +58,33 @@ def test_anf_isolated_vertex_and_universe(spark):
     assert g[7] == anf_python_oracle([], rounds=2, vertex_ids=[7])[7]
 
 
+def test_anf_neighborhood_function_monotone_and_effective_diameter(spark):
+    """N(t) rides the Observation — recorded per round, monotone
+    nondecreasing (sketch unions only grow); on a long path the 90%
+    effective diameter lands well past 1 hop, on a clique at 1."""
+    from parallel_connected_components_spark.operators import effective_diameter
+
+    path = sym([(i, i + 1) for i in range(12)])
+    edges = spark.createDataFrame(path, "src long, dst long")
+    got, runner = anf(spark, edges, rounds=12)
+    got.count()
+    nfs = [
+        m.extra["neighborhood_function"]
+        for m in runner.metrics
+        if "neighborhood_function" in m.extra
+    ]
+    assert len(nfs) == runner.num_iterations
+    assert all(b >= a * (1 - 1e-12) for a, b in zip(nfs, nfs[1:]))
+    ed_path = effective_diameter(runner, ratio=0.9)
+    assert ed_path is not None and ed_path >= 3
+
+    clique = sym([(i, j) for i in range(5) for j in range(i + 1, 5)])
+    cedges = spark.createDataFrame(clique, "src long, dst long")
+    got2, runner2 = anf(spark, cedges, rounds=6)
+    got2.count()
+    assert effective_diameter(runner2, ratio=0.9) == 1
+
+
 def test_anf_estimate_grows_with_ball(spark):
     """The float estimate is monotone in the registers: a 9-vertex star
     center's 1-round ball (everything) must estimate larger than a leaf

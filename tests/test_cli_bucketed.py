@@ -133,6 +133,18 @@ def test_cli_bfs_seeds_and_cap(cli, tmp_path, capsys):
     assert out["rounds"] == 1
 
 
+def test_cli_anf_reports_neighborhood_function(cli, tmp_path, capsys):
+    mtx = tmp_path / "a.mtx"
+    mtx.write_text(MTX)
+    cli.main(["anf", "--mtx", str(mtx), "--rounds", "4"])
+    out = _last_json(capsys)
+    assert out["rounds"] >= 1
+    nf = out["neighborhood_function"]
+    assert len(nf) == out["rounds"]
+    assert all(b >= a for a, b in zip(nf, nf[1:]))
+    assert 1 <= out["effective_diameter_90"] <= out["rounds"]
+
+
 def test_cli_bfs_requires_seeds(cli, tmp_path):
     mtx = tmp_path / "s.mtx"
     mtx.write_text(MTX)
