@@ -12,8 +12,9 @@ windows, TPC-H-style star joins, MP3/MP4 container metadata) and the
 r5 link-graph additions: personalized PageRank, HITS
 hubs/authorities, SCC via trim+coloring, k-core decomposition
 (iterated H-index), multi-source k-hop BFS, and ANF neighborhood
-sketches — each bit-exact against an unrolled or recursive-closure
-DuckDB twin. 51 queries, 51 exact DuckDB oracles.
+sketches + harmonic centrality — each bit-exact against an unrolled
+or recursive-closure DuckDB twin. 52 queries, 52 exact DuckDB
+oracles.
 """
 
 from __future__ import annotations

@@ -49,7 +49,7 @@ from .operators.cc import (
     cc_two_phase,
 )
 from .operators.dedup import exact_duplicates, minhash_signatures, simhash_signatures
-from .operators.anf import anf
+from .operators.anf import anf, harmonic_centrality
 from .operators.bfs import bfs_hops
 from .operators.graph import canonicalize, degree_stats, degrees, symmetrize
 from .operators.hits import hits_fixed
@@ -498,6 +498,58 @@ def _anf_sql(rounds: int, num_registers: int = 4) -> str:
     )
 
 
+def _harmonic_sql(rounds: int, num_registers: int = 4) -> str:
+    """Unrolled ANF-based harmonic centrality (DuckDB), exact integer
+    twin of operators.anf.harmonic_centrality: the anf mask recurrence,
+    per-round integer ball estimates est_t = Σ_i 2^{R_i}, telescoped
+    score = Σ_t (L/t)·(est_t − est_{t−1}) with L = lcm(1..rounds)."""
+    from math import lcm
+
+    from .functions.hashing import portable_hash64_sql
+
+    regs = list(range(num_registers))
+    big_l = lcm(*range(1, rounds + 1))
+
+    def init(i: int) -> str:
+        h = portable_hash64_sql(f"CAST(vertex AS VARCHAR) || ':{i}'")
+        return f"(1::BIGINT << least(bit_count(({h} & -{h}) - 1), 62)) AS m{i}"
+
+    est_expr = " + ".join(
+        f"(1::BIGINT << (bit_count(xor(m{i}, m{i} + 1)) - 1))" for i in regs
+    )
+    ctes = [
+        "sym2 AS MATERIALIZED (SELECT src, dst FROM sym)",
+        "verts2 AS MATERIALIZED (SELECT doc_id AS vertex FROM documents)",
+        "n0 AS MATERIALIZED (SELECT vertex, "
+        + ", ".join(init(i) for i in regs)
+        + " FROM verts2)",
+    ]
+    for t in range(rounds):
+        ors = ", ".join(f"bit_or(m.m{i}) AS o{i}" for i in regs)
+        ctes.append(
+            f"""a{t} AS (SELECT e.dst AS vertex, {ors}
+              FROM sym2 e JOIN n{t} m ON m.vertex = e.src GROUP BY e.dst)"""
+        )
+        merged = ", ".join(
+            f"s.m{i} | coalesce(g.o{i}, 0::BIGINT) AS m{i}" for i in regs
+        )
+        ctes.append(
+            f"""n{t + 1} AS MATERIALIZED (SELECT s.vertex, {merged}
+              FROM n{t} s LEFT JOIN a{t} g ON g.vertex = s.vertex)"""
+        )
+    for t in range(rounds + 1):
+        ctes.append(f"est{t} AS (SELECT vertex, {est_expr} AS e{t} FROM n{t})")
+    terms = " + ".join(
+        f"{big_l // t}::BIGINT * (e{t} - e{t - 1})" for t in range(1, rounds + 1)
+    )
+    joins = " ".join(f"JOIN est{t} USING (vertex)" for t in range(1, rounds + 1))
+    return (
+        f"WITH {SYM_SQL}, "
+        + ",\n  ".join(ctes)
+        + f"\n  SELECT vertex, CAST({terms} AS BIGINT) AS score FROM est0 {joins}"
+    )
+
+
 def _lpa_fixed_sql(n_iterations: int) -> str:
     """Unrolled bounded-iteration LPA (DuckDB), exact integer twin of
     operators.lpa.label_propagation_communities: per round, each vertex
@@ -815,6 +867,19 @@ def build_queries():
         return sketches
 
     q("anf_balls", _anf, _anf_sql(ANF_ROUNDS))
+
+    # ANF-based harmonic centrality — same sketch recurrence, integer
+    # L-scaled telescoping sum (rank signal; exact integers both sides)
+    def _harmonic(spark, sf):
+        scores, _ = harmonic_centrality(
+            spark,
+            symmetrize(raw_edges(spark, sf)),
+            rounds=ANF_ROUNDS,
+            vertices=doc_vertices(spark, sf),
+        )
+        return scores
+
+    q("harmonic_scores", _harmonic, _harmonic_sql(ANF_ROUNDS))
 
     LPA_ITERS = 8
 

@@ -33,6 +33,8 @@ from .anf import (  # noqa: F401
     anf,
     anf_python_oracle,
     effective_diameter,
+    harmonic_centrality,
+    harmonic_python_oracle,
     neighborhood_estimate,
 )
 from .lpa import label_propagation_communities  # noqa: F401

@@ -187,6 +187,128 @@ def effective_diameter(runner: FixpointRunner, ratio: float = 0.9) -> int | None
     return len(nfs)
 
 
+def harmonic_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    rounds: int = 4,
+    num_registers: int = 4,
+    vertices: DataFrame | None = None,
+) -> tuple[DataFrame, FixpointRunner]:
+    """ANF-based harmonic centrality (the HyperANF methodology —
+    Boldi/Vigna argue harmonic is THE principled centrality for
+    disconnected web graphs since unreachable pairs contribute 0, not
+    infinity): score(v) ≈ Σ_t Δ|ball_t(v)| / t, with ball sizes from
+    the same FM sketches as :func:`anf`.
+
+    Kept EXACTLY reproducible cross-engine by staying integer all the
+    way: the per-round ball size is est_t(v) = Σ_i 2^{R_i} (register
+    estimates as integer shifts, no 0.77351 correction), and the output
+    is  score = Σ_{t=1..rounds} (L/t) · (est_t − est_{t−1})  with
+    L = lcm(1..rounds) clearing the denominators — a positive integer
+    scaling of the harmonic estimator, rank-equivalent to it. The
+    DuckDB twin (entry._harmonic_sql) reproduces every score
+    bit-for-bit. FM variance at the default 4 registers makes this a
+    RANKING signal (hubs vs periphery), not a count — documented, same
+    honesty note as effective_diameter.
+
+    State carries (masks, est, score); the round update is the anf
+    bit_or gather with two more integer columns folded in the same
+    single aggregation. Early stop when sketches saturate is exact:
+    stable masks ⇒ Δest = 0 ⇒ later terms vanish, matching a fixed-K
+    unrolled twin."""
+    from math import lcm
+
+    regs = _reg_cols(num_registers)
+    big_l = lcm(*range(1, rounds + 1)) if rounds >= 1 else 1
+    e_raw = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    e = e_raw.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    verts = (
+        (vertices.select("id") if vertices is not None else vertices_of(e_raw))
+        .select(F.col("id").cast("long").alias("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    e, n_part = pin_edges(spark, e)
+
+    def est_of(cols) -> "F.Column":
+        total = None
+        for m in cols:
+            p = F.call_function(
+                "shiftleft", F.lit(1).cast("long"), lowest_zero_bit(F.col(m))
+            )
+            total = p if total is None else total + p
+        return total
+
+    init = verts.select(
+        "vertex",
+        *[_init_mask(F.col("vertex"), i).alias(m) for i, m in enumerate(regs)],
+    )
+    init = init.select(
+        "vertex", *regs, est_of(regs).alias("est"), F.lit(0).cast("long").alias("score")
+    )
+
+    obs_holder: dict[int, Observation] = {}
+
+    def step(state: DataFrame, it: int) -> DataFrame:
+        coeff = big_l // (it + 1)
+        msgs = e.join(
+            state.select(F.col("vertex").alias("src"), *regs).hint("shuffle_hash"),
+            "src",
+        ).select(
+            F.col("dst").alias("vertex"),
+            *regs,
+            F.lit(None).cast("long").alias("est"),
+            F.lit(None).cast("long").alias("score"),
+            F.lit(False).alias("is_self"),
+        )
+        own = state.select("vertex", *regs, "est", "score", F.lit(True).alias("is_self"))
+        obs = Observation()
+        obs_holder[it] = obs
+        merged = (
+            msgs.union(own)
+            .repartition(n_part, "vertex")
+            .groupBy("vertex")
+            .agg(
+                *[F.bit_or(m).alias(m) for m in regs],
+                *[
+                    F.max(F.when(F.col("is_self"), F.col(m))).alias(f"_o{m}")
+                    for m in regs
+                ],
+                F.max(F.when(F.col("is_self"), F.col("est"))).alias("_pe"),
+                F.max(F.when(F.col("is_self"), F.col("score"))).alias("_ps"),
+            )
+        )
+        new_est = est_of(regs)
+        # early stop must watch the MASKS, not est: a mask can gain a
+        # high bit without moving its lowest zero (est unchanged) yet
+        # still affect neighbors' est in later rounds — stopping on
+        # Δest==0 would diverge from the fixed-K unrolled twin
+        changed = None
+        for m in regs:
+            c = F.col(m) != F.col(f"_o{m}")
+            changed = c if changed is None else (changed | c)
+        return merged.select(
+            "vertex",
+            *regs,
+            new_est.alias("est"),
+            (F.col("_ps") + F.lit(coeff).cast("long") * (new_est - F.col("_pe"))).alias(
+                "score"
+            ),
+            changed.alias("changed"),
+        ).observe(obs, F.sum(F.col("changed").cast("long")).alias("changed"))
+
+    def converged(new_state: DataFrame, it: int):
+        grew = obs_holder.pop(it).get["changed"] or 0
+        if it + 1 >= rounds:
+            return 0, {"grew": grew}
+        return grew, {"grew": grew}
+
+    runner = FixpointRunner(spark, "harmonic", max_iterations=max(rounds, 1))
+    out = runner.run(init, step, converged)
+    final = out.select("vertex", "score")
+    e.unpersist()
+    return final, runner
+
+
 def anf_python_oracle(
     edge_list, rounds: int = 4, num_registers: int = 4, vertex_ids=None
 ) -> dict[int, tuple[int, ...]]:
@@ -226,3 +348,57 @@ def anf_python_oracle(
         return i
 
     return {v: tuple(r(m) for m in ms) for v, ms in masks.items()}
+
+
+def harmonic_python_oracle(
+    edge_list, rounds: int = 4, num_registers: int = 4, vertex_ids=None
+) -> dict[int, int]:
+    """Independent integer simulation of :func:`harmonic_centrality`
+    (same portable hash, same L-scaled telescoping sum). Test-scale."""
+    from math import lcm
+
+    from ..functions.hashing import portable_hash64_py
+
+    verts = set(int(v) for v in (vertex_ids or []))
+    adj: dict[int, set[int]] = {}
+    for u, v in edge_list:
+        u, v = int(u), int(v)
+        verts.add(u)
+        verts.add(v)
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+
+    def init_mask(v: int, i: int) -> int:
+        h = portable_hash64_py(f"{v}:{i}")
+        tz = (h & -h).bit_length() - 1 if h else 62
+        return 1 << min(tz, 62)
+
+    def est(ms) -> int:
+        total = 0
+        for m in ms:
+            i = 0
+            while m & (1 << i):
+                i += 1
+            total += 1 << i
+        return total
+
+    big_l = lcm(*range(1, rounds + 1)) if rounds >= 1 else 1
+    masks = {v: [init_mask(v, i) for i in range(num_registers)] for v in verts}
+    prev_est = {v: est(ms) for v, ms in masks.items()}
+    score = {v: 0 for v in verts}
+    for t in range(1, rounds + 1):
+        nxt = {v: list(ms) for v, ms in masks.items()}
+        for u, outs in adj.items():
+            for v in outs:
+                for i in range(num_registers):
+                    nxt[v][i] |= masks[u][i]
+        coeff = big_l // t
+        for v in verts:
+            e = est(nxt[v])
+            score[v] += coeff * (e - prev_est[v])
+            prev_est[v] = e
+        stable = nxt == masks
+        masks = nxt
+        if stable:
+            break
+    return score

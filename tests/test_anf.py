@@ -85,6 +85,38 @@ def test_anf_neighborhood_function_monotone_and_effective_diameter(spark):
     assert effective_diameter(runner2, ratio=0.9) == 1
 
 
+@pytest.mark.parametrize("seed", [7, 8])
+def test_harmonic_differential_random(spark, seed):
+    from parallel_connected_components_spark.operators import (
+        harmonic_centrality,
+        harmonic_python_oracle,
+    )
+
+    rng = random.Random(seed)
+    edge_list = sym([(rng.randrange(35), rng.randrange(35)) for _ in range(80)])
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got, _ = harmonic_centrality(spark, edges, rounds=3)
+    g = {r["vertex"]: r["score"] for r in got.collect()}
+    assert g == harmonic_python_oracle(edge_list, rounds=3)
+
+
+def test_harmonic_early_stop_equals_full_unroll(spark):
+    """Saturating before the round cap must give the same scores as
+    running every round (the Δest telescoping adds 0 after saturation) —
+    the property that lets the fixed-K SQL twin stay exact."""
+    from parallel_connected_components_spark.operators import (
+        harmonic_centrality,
+        harmonic_python_oracle,
+    )
+
+    edge_list = sym([(0, 1), (1, 2), (10, 11)])
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got, runner = harmonic_centrality(spark, edges, rounds=8)
+    g = {r["vertex"]: r["score"] for r in got.collect()}
+    assert runner.num_iterations < 8  # early stop actually fired
+    assert g == harmonic_python_oracle(edge_list, rounds=8)
+
+
 def test_anf_estimate_grows_with_ball(spark):
     """The float estimate is monotone in the registers: a 9-vertex star
     center's 1-round ball (everything) must estimate larger than a leaf
