@@ -11,10 +11,10 @@ brute-force kNN, real PPM/PNG/JPEG/WAV multimodal decode, events
 windows, TPC-H-style star joins, MP3/MP4 container metadata) and the
 r5 link-graph additions: personalized PageRank, HITS
 hubs/authorities, SCC via trim+coloring, k-core decomposition
-(iterated H-index), multi-source k-hop BFS, and ANF neighborhood
-sketches + harmonic centrality — each bit-exact against an unrolled
-or recursive-closure DuckDB twin. 52 queries, 52 exact DuckDB
-oracles.
+(iterated H-index), multi-source k-hop BFS, ANF neighborhood
+sketches + harmonic centrality, and deterministic random-walk corpus
+sampling — each bit-exact against an unrolled or recursive-closure
+DuckDB twin. 53 queries, 53 exact DuckDB oracles.
 """
 
 from __future__ import annotations

@@ -60,6 +60,7 @@ from .operators.scc import scc
 from .operators.similarity import knn_bruteforce
 from .operators.stats import component_sizes, component_stats, top_components
 from .operators.triangles import triangle_count, triangles_per_vertex
+from .operators.walks import random_walks
 from .streaming.events import batch_event_counts
 
 BLOCK = 8
@@ -550,6 +551,35 @@ def _harmonic_sql(rounds: int, num_registers: int = 4) -> str:
     )
 
 
+def _walks_sql(walk_len: int) -> str:
+    """Unrolled deterministic random walks (DuckDB), exact twin of
+    operators.walks.random_walks from the block-head seeds over the DIR
+    graph: per step one arg_min join on the identical portable hash of
+    "<walk_id>:<t>:<u>:<w>"."""
+    from .functions.hashing import portable_hash64_sql
+
+    ctes = [
+        "dir2 AS MATERIALIZED (SELECT src, dst FROM dir)",
+        f"""w0 AS MATERIALIZED (SELECT doc_id AS walk_id, doc_id AS vertex
+           FROM documents WHERE doc_id % {BLOCK} = 0)""",
+    ]
+    for t in range(1, walk_len + 1):
+        h = portable_hash64_sql(
+            "CAST(p.walk_id AS VARCHAR) || "
+            f"':{t}:' || CAST(e.src AS VARCHAR) || ':' || CAST(e.dst AS VARCHAR)"
+        )
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (SELECT p.walk_id,
+              arg_min(e.dst, {h}) AS vertex
+              FROM w{t - 1} p JOIN dir2 e ON e.src = p.vertex
+              GROUP BY p.walk_id)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, vertex FROM w{t}" for t in range(walk_len + 1)
+    )
+    return f"WITH {DIR_SQL}, " + ",\n  ".join(ctes) + f"\n  {selects}"
+
+
 def _lpa_fixed_sql(n_iterations: int) -> str:
     """Unrolled bounded-iteration LPA (DuckDB), exact integer twin of
     operators.lpa.label_propagation_communities: per round, each vertex
@@ -880,6 +910,23 @@ def build_queries():
         return scores
 
     q("harmonic_scores", _harmonic, _harmonic_sql(ANF_ROUNDS))
+
+    # deterministic random-walk corpus from the block heads over the
+    # directed graph — the DeepWalk-style training-data generator;
+    # reproducible by construction (hash-arg-min transitions)
+    WALK_LEN = 6
+
+    def _walks(spark, sf):
+        heads = (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") % BLOCK == 0)
+            .select(F.col("doc_id").alias("id"))
+        )
+        return random_walks(
+            spark, raw_directed_edges(spark, sf), heads, walk_len=WALK_LEN
+        )
+
+    q("walk_corpus", _walks, _walks_sql(WALK_LEN))
 
     LPA_ITERS = 8
 

@@ -38,6 +38,7 @@ from .anf import (  # noqa: F401
     neighborhood_estimate,
 )
 from .lpa import label_propagation_communities  # noqa: F401
+from .walks import random_walks, walks_python_oracle  # noqa: F401
 from .triangles import triangle_count, triangles_per_vertex  # noqa: F401
 from .stats import (  # noqa: F401
     component_sizes,
