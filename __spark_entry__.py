@@ -12,9 +12,13 @@ windows, TPC-H-style star joins, MP3/MP4 container metadata) and the
 r5 link-graph additions: personalized PageRank, HITS
 hubs/authorities, SCC via trim+coloring, k-core decomposition
 (iterated H-index), multi-source k-hop BFS, ANF neighborhood
-sketches + harmonic centrality, and deterministic random-walk corpus
-sampling — each bit-exact against an unrolled or recursive-closure
-DuckDB twin. 53 queries, 53 exact DuckDB oracles.
+sketches + harmonic centrality, deterministic random-walk corpus
+sampling + skip-gram co-occurrence, the structural-statistics family
+(clustering coefficients, transitivity, degree assortativity,
+reciprocity, per-edge triangle support, staged k-truss decomposition)
+and common-neighbor link prediction (Jaccard + resource-allocation,
+bit-exact by construction) — each bit-exact against an unrolled or
+recursive-closure DuckDB twin. 61 queries, 61 exact DuckDB oracles.
 """
 
 from __future__ import annotations

@@ -60,7 +60,16 @@ from .operators.scc import scc
 from .operators.similarity import knn_bruteforce
 from .operators.stats import component_sizes, component_stats, top_components
 from .operators.triangles import triangle_count, triangles_per_vertex
-from .operators.walks import random_walks
+from .operators.linkpred import link_prediction_topk
+from .operators.structure import (
+    clustering_coefficients,
+    degree_assortativity,
+    edge_support,
+    reciprocity,
+    transitivity,
+    truss_decomposition,
+)
+from .operators.walks import random_walks, walk_cooccurrence
 from .streaming.events import batch_event_counts
 
 BLOCK = 8
@@ -149,6 +158,22 @@ def raw_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star.unionAll(chain).unionAll(back).unionAll(head)
 
 
+def raw_tri_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denser derived graph for the triangle-support family (edge
+    support / k-truss): the base star+chain graph plus skip edges
+    i → i−2 for every third in-block vertex. The skips close extra
+    chain triangles NON-uniformly, so the truss decomposition has mixed
+    truss numbers (3 and 4 at 500 docs) and the k=4 peel genuinely
+    cascades (3 rounds) instead of fixpointing immediately — mirrored in
+    TRICANON_SQL."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id")
+    skip = docs.filter((i % BLOCK >= 2) & (i % 3 == 0)).select(
+        i.alias("src"), (i - 2).alias("dst")
+    )
+    return raw_edges(spark, sf_dir).unionAll(skip)
+
+
 # ===========================================================================
 # Shared builders — oracle SQL fragments (DuckDB dialect)
 # ===========================================================================
@@ -176,6 +201,21 @@ SYM_SQL = (
     + """,
   sym AS (
     SELECT src, dst FROM canon UNION SELECT dst, src FROM canon
+  )"""
+)
+
+TRICANON_SQL = (
+    RAW_EDGES_SQL
+    + f""",
+  trisrc AS (
+    SELECT src, dst FROM raw
+    UNION ALL
+    SELECT doc_id, doc_id - 2 FROM documents
+    WHERE doc_id % {BLOCK} >= 2 AND doc_id % 3 = 0
+  ),
+  tcanon AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+    FROM trisrc WHERE src <> dst
   )"""
 )
 
@@ -580,6 +620,119 @@ def _walks_sql(walk_len: int) -> str:
     return f"WITH {DIR_SQL}, " + ",\n  ".join(ctes) + f"\n  {selects}"
 
 
+def _truss_support_ctes(edge_cte: str, tag: str) -> list[str]:
+    """One support-recount round over ``edge_cte``: triangle enumeration
+    (id-oriented a<b<c join, same shape as the triangle oracle) + per-edge
+    support counts. → CTE list ending with sup{tag}."""
+    return [
+        f"""t{tag} AS (SELECT a.src AS a, a.dst AS b, b.dst AS c
+          FROM {edge_cte} a JOIN {edge_cte} b ON a.dst = b.src
+          JOIN {edge_cte} c ON c.src = a.src AND c.dst = b.dst)""",
+        f"""sup{tag} AS (SELECT src, dst, count(*) AS support FROM (
+            SELECT a AS src, b AS dst FROM t{tag}
+            UNION ALL SELECT b, c FROM t{tag}
+            UNION ALL SELECT a, c FROM t{tag}) GROUP BY src, dst)""",
+    ]
+
+
+def _truss_sql(stages: dict[int, int]) -> str:
+    """Unrolled truss decomposition (DuckDB), exact twin of
+    operators.structure.truss_decomposition over the TRICANON graph:
+    staged k-truss peels (k ascending), each stage ``stages[k]`` unrolled
+    support-recount rounds. Peeling is monotone, so rounds past a
+    stage's fixpoint are no-ops — the unroll counts carry margin over
+    the measured rounds (3/5/3 measured at 500 docs: {3:1, 4:3, 5:1})."""
+    ctes = ["e0 AS MATERIALIZED (SELECT src, dst FROM tcanon)"]
+    n = 0
+    stage_end: dict[int, int] = {}
+    for k in sorted(stages):
+        for _ in range(stages[k]):
+            ctes.extend(_truss_support_ctes(f"e{n}", str(n)))
+            ctes.append(
+                f"""e{n + 1} AS MATERIALIZED (
+                  SELECT e.src, e.dst FROM e{n} e
+                  LEFT JOIN sup{n} s ON s.src = e.src AND s.dst = e.dst
+                  WHERE coalesce(s.support, 0) >= {k - 2})"""
+            )
+            n += 1
+        stage_end[k] = n
+    marks = " ".join(
+        f"""LEFT JOIN (SELECT src, dst, 1 AS m{k} FROM e{stage_end[k]}) k{k}
+            ON k{k}.src = t.src AND k{k}.dst = t.dst"""
+        for k in sorted(stages)
+    )
+    case = "CASE " + " ".join(
+        f"WHEN m{k} IS NOT NULL THEN {k}" for k in sorted(stages, reverse=True)
+    ) + " ELSE 2 END"
+    return (
+        f"WITH {TRICANON_SQL}, "
+        + ",\n  ".join(ctes)
+        + f"\n  SELECT t.src, t.dst, {case} AS truss FROM tcanon t {marks}"
+    )
+
+
+def _edge_support_sql() -> str:
+    """Per-edge triangle support over the TRICANON graph."""
+    ctes = _truss_support_ctes("tcanon", "0")
+    return (
+        f"WITH {TRICANON_SQL}, "
+        + ",\n  ".join(ctes)
+        + """
+  SELECT e.src, e.dst, coalesce(s.support, 0) AS support
+  FROM tcanon e LEFT JOIN sup0 s ON s.src = e.src AND s.dst = e.dst"""
+    )
+
+
+def _linkpred_sql(k: int, max_degree: int) -> str:
+    """Top-k link prediction (DuckDB), exact twin of
+    operators.linkpred.link_prediction_topk: common-neighbor / Jaccard /
+    resource-allocation scores over non-adjacent 2-hop pairs, wedge
+    middles capped at ``max_degree``. The RA sum folds in ascending
+    middle-id order (list_reduce over list_prepend, the shared
+    cross-engine-exact summation)."""
+    fold = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list(1.0::DOUBLE / CAST(dw AS DOUBLE) ORDER BY w)), (x, y) -> x + y)"
+    )
+    return f"""WITH {SYM_SQL},
+  deg AS MATERIALIZED (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src),
+  wed AS (
+    SELECT a.src AS u, b.dst AS v, a.dst AS w, d.degree AS dw
+    FROM sym a JOIN sym b ON b.src = a.dst JOIN deg d ON d.id = a.dst
+    WHERE a.src < b.dst AND d.degree <= {max_degree}
+  ),
+  cand AS (
+    SELECT u, v, w, dw FROM wed
+    WHERE NOT EXISTS (SELECT 1 FROM canon c WHERE c.src = wed.u AND c.dst = wed.v)
+  ),
+  sc AS (
+    SELECT u AS src, v AS dst, count(*) AS common_neighbors, {fold} AS resource_alloc
+    FROM cand GROUP BY u, v
+  )
+  SELECT sc.src, sc.dst, common_neighbors,
+    CAST(common_neighbors AS DOUBLE)
+      / CAST(du.degree + dv.degree - common_neighbors AS DOUBLE) AS jaccard,
+    resource_alloc
+  FROM sc JOIN deg du ON du.id = sc.src JOIN deg dv ON dv.id = sc.dst
+  ORDER BY common_neighbors DESC, sc.src ASC, sc.dst ASC LIMIT {k}"""
+
+
+def _cooc_sql(walk_len: int, window: int) -> str:
+    """Skip-gram co-occurrence counts over the unrolled walk corpus —
+    the walk twin wrapped as a CTE, then the identical bounded
+    step-distance self-join in both directions."""
+    return f"""WITH corpus AS ({_walks_sql(walk_len)}),
+  p AS (
+    SELECT a.vertex AS center, b.vertex AS context
+    FROM corpus a JOIN corpus b
+    ON b.walk_id = a.walk_id AND b.step - a.step BETWEEN 1 AND {window}
+  )
+  SELECT center, context, count(*) AS pairs FROM (
+    SELECT center, context FROM p
+    UNION ALL SELECT context, center FROM p
+  ) GROUP BY center, context"""
+
+
 def _lpa_fixed_sql(n_iterations: int) -> str:
     """Unrolled bounded-iteration LPA (DuckDB), exact integer twin of
     operators.lpa.label_propagation_communities: per round, each vertex
@@ -927,6 +1080,132 @@ def build_queries():
         )
 
     q("walk_corpus", _walks, _walks_sql(WALK_LEN))
+
+    # skip-gram co-occurrence over the same corpus — the word2vec
+    # training-pair generator downstream of the walks
+    COOC_WINDOW = 2
+
+    def _cooc(spark, sf):
+        return walk_cooccurrence(_walks(spark, sf), window=COOC_WINDOW)
+
+    q("walk_cooc", _cooc, _cooc_sql(WALK_LEN, COOC_WINDOW))
+
+    # ---------------- structural statistics (round-5 family) ---------------
+    # clustering / transitivity / assortativity on the undirected web
+    # graph; reciprocity on the directed one; support/truss on the denser
+    # TRICANON derivative (mixed truss numbers by construction). Every
+    # emitted float is ONE division of integer-exact operands.
+    q(
+        "clustering_coeff",
+        lambda spark, sf: clustering_coefficients(
+            spark, raw_edges(spark, sf), vertices=doc_vertices(spark, sf)
+        ),
+        f"""WITH {SYM_SQL},
+        deg AS (SELECT src AS vertex, count(*) AS degree FROM sym GROUP BY src),
+        tri AS (
+          SELECT a.src AS a, a.dst AS b, b.dst AS c
+          FROM canon a JOIN canon b ON a.dst = b.src
+          JOIN canon c ON c.src = a.src AND c.dst = b.dst
+        ),
+        members AS (
+          SELECT a AS vertex FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri
+        ),
+        tcnt AS (SELECT vertex, count(*) AS triangles FROM members GROUP BY vertex)
+        SELECT d.doc_id AS vertex,
+          coalesce(g.degree, 0) AS degree,
+          coalesce(t.triangles, 0) AS triangles,
+          CASE WHEN coalesce(g.degree, 0) >= 2
+            THEN CAST(2 * coalesce(t.triangles, 0) AS DOUBLE)
+                 / CAST(g.degree * (g.degree - 1) AS DOUBLE)
+            ELSE 0.0 END AS lcc
+        FROM documents d
+        LEFT JOIN deg g ON g.vertex = d.doc_id
+        LEFT JOIN tcnt t ON t.vertex = d.doc_id""",
+    )
+    q(
+        "transitivity",
+        lambda spark, sf: transitivity(spark, raw_edges(spark, sf)),
+        f"""WITH {SYM_SQL},
+        tc AS (
+          SELECT count(*) AS t
+          FROM canon a JOIN canon b ON a.dst = b.src
+          JOIN canon c ON c.src = a.src AND c.dst = b.dst
+        ),
+        dd AS (
+          SELECT CAST(sum(degree * (degree - 1)) AS BIGINT) AS sum_dd1
+          FROM (SELECT src, count(*) AS degree FROM sym GROUP BY src)
+        )
+        SELECT CAST(t AS BIGINT) AS triangles,
+          sum_dd1 // 2 AS wedges,
+          CASE WHEN sum_dd1 > 0
+            THEN CAST(6 * t AS DOUBLE) / CAST(sum_dd1 AS DOUBLE)
+            ELSE 0.0 END AS transitivity
+        FROM tc, dd""",
+    )
+    q(
+        "assortativity",
+        lambda spark, sf: degree_assortativity(spark, raw_edges(spark, sf)),
+        f"""WITH {SYM_SQL},
+        deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src),
+        je AS (
+          SELECT dj.degree AS j, dk.degree AS k
+          FROM canon c JOIN deg dj ON dj.id = c.src JOIN deg dk ON dk.id = c.dst
+        ),
+        s AS (
+          SELECT count(*) AS num_edges,
+            CAST(sum(j * k) AS BIGINT) AS sum_jk,
+            CAST(sum(j + k) AS BIGINT) AS sum_jpk,
+            CAST(sum(j * j + k * k) AS BIGINT) AS sum_j2k2
+          FROM je
+        )
+        SELECT num_edges, sum_jk, sum_jpk, sum_j2k2,
+          CASE WHEN 2 * num_edges * sum_j2k2 - sum_jpk * sum_jpk <> 0
+            THEN CAST(4 * num_edges * sum_jk - sum_jpk * sum_jpk AS DOUBLE)
+                 / CAST(2 * num_edges * sum_j2k2 - sum_jpk * sum_jpk AS DOUBLE)
+            ELSE NULL END AS assortativity
+        FROM s""",
+    )
+    q(
+        "reciprocity",
+        lambda spark, sf: reciprocity(raw_directed_edges(spark, sf)),
+        f"""WITH {DIR_SQL},
+        m AS (
+          SELECT count(*) AS mutual_edges FROM dir e
+          WHERE EXISTS (SELECT 1 FROM dir r WHERE r.src = e.dst AND r.dst = e.src)
+        ),
+        n AS (SELECT count(*) AS num_edges FROM dir)
+        SELECT num_edges, mutual_edges,
+          CASE WHEN num_edges > 0
+            THEN CAST(mutual_edges AS DOUBLE) / CAST(num_edges AS DOUBLE)
+            ELSE 0.0 END AS reciprocity
+        FROM n, m""",
+    )
+    q(
+        "edge_support",
+        lambda spark, sf: edge_support(spark, raw_tri_edges(spark, sf)),
+        _edge_support_sql(),
+    )
+
+    # staged k-truss peel; unroll counts carry margin over the measured
+    # fixpoint rounds {3:1, 4:3, 5:1} (extra rounds are no-ops)
+    TRUSS_STAGES = {3: 3, 4: 5, 5: 3}
+
+    def _truss(spark, sf):
+        out, _info = truss_decomposition(spark, raw_tri_edges(spark, sf))
+        return out
+
+    q("truss_decomp", _truss, _truss_sql(TRUSS_STAGES))
+
+    LP_TOPK, LP_MAXDEG = 50, 6
+
+    def _linkpred(spark, sf):
+        return link_prediction_topk(
+            spark, raw_edges(spark, sf), k=LP_TOPK, max_degree=LP_MAXDEG
+        )
+
+    q("linkpred_top50", _linkpred, _linkpred_sql(LP_TOPK, LP_MAXDEG))
 
     LPA_ITERS = 8
 

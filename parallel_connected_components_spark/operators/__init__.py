@@ -38,7 +38,19 @@ from .anf import (  # noqa: F401
     neighborhood_estimate,
 )
 from .lpa import label_propagation_communities  # noqa: F401
-from .walks import random_walks, walks_python_oracle  # noqa: F401
+from .walks import random_walks, walk_cooccurrence, walks_python_oracle  # noqa: F401
+from .structure import (  # noqa: F401
+    clustering_coefficients,
+    degree_assortativity,
+    edge_support,
+    ktruss,
+    reciprocity,
+    support_python_oracle,
+    transitivity,
+    truss_decomposition,
+    truss_python_oracle,
+)
+from .linkpred import link_prediction_topk  # noqa: F401
 from .triangles import triangle_count, triangles_per_vertex  # noqa: F401
 from .stats import (  # noqa: F401
     component_sizes,

@@ -1,0 +1,98 @@
+"""Neighborhood-overlap link prediction over the undirected link graph.
+
+Target-only capability: scores NON-adjacent vertex pairs by shared
+neighborhood — the classic candidate generator for "pages that should
+link" / related-page suggestions, and (with the walk corpus in
+operators/walks.py) the second standard bridge from a link graph to
+training data. Three published measures per candidate pair (u, v):
+
+    common_neighbors  |N(u) ∩ N(v)|                 (integer)
+    jaccard           |N(u) ∩ N(v)| / |N(u) ∪ N(v)|  (one int division)
+    resource_alloc    Σ_{w ∈ N(u)∩N(v)} 1 / deg(w)   (Zhou et al. 2009)
+
+Resource allocation is used instead of Adamic-Adar (Σ 1/ln deg(w))
+deliberately: RA is reported at least as accurate on link prediction
+benchmarks, and 1/deg is a single correctly-rounded IEEE754 division,
+so the score is reproducible BIT-EXACTLY by an independent engine —
+Adamic-Adar's ln() is libm-dependent and would break the cross-engine
+gate. The RA sum folds in ascending common-neighbor order (the shared
+``_ordered_fold`` discipline from operators.pagerank).
+
+Plan: one wedge self-join through the middle vertex w — candidate pairs
+are exactly the 2-hop pairs — then an anti-join against the existing
+edge set, one grouped aggregation, one top-k. Skew: a hub middle emits
+deg(w)² candidate pairs; ``max_degree`` caps the middle (the standard
+practice — a hub's endorsement carries no signal anyway, which is the
+same insight RA's 1/deg weight encodes; at the cap the pairs it would
+emit are exactly the lowest-weight ones). The top-k is the salted
+two-stage pattern's job at scale; here the ordering is deterministic
+(count desc, then pair ids) so the plan is a plain TakeOrdered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .graph import canonicalize, degrees, symmetrize
+from .pagerank import _ordered_fold
+
+
+def link_prediction_topk(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 50,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """→ top-k (src, dst, common_neighbors, jaccard, resource_alloc)
+    over non-adjacent pairs src < dst, ordered by (common_neighbors
+    desc, src, dst). ``max_degree`` drops wedge middles above the cap
+    (hub fan-out guard; None = uncapped)."""
+    sym = symmetrize(edges)
+    canon = canonicalize(edges)
+    deg = degrees(sym)
+    mid = deg.withColumnsRenamed({"id": "w", "degree": "dw"})
+    if max_degree is not None:
+        mid = mid.filter(F.col("dw") <= max_degree)
+    # wedges through w: (u, w), (w, v) with u < v → candidate pair (u, v)
+    left = sym.select(F.col("dst").alias("w"), F.col("src").alias("u"))
+    right = sym.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    wedges = (
+        left.join(right, "w")
+        .filter(F.col("u") < F.col("v"))
+        .join(mid, "w")  # degree of the middle rides the wedge row
+    )
+    cand = wedges.join(
+        canon.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    scored = cand.groupBy(F.col("u").alias("src"), F.col("v").alias("dst")).agg(
+        F.count("*").alias("common_neighbors"),
+        _ordered_fold(
+            F.collect_list(
+                F.struct(
+                    F.col("w").alias("k"),
+                    (F.lit(1.0) / F.col("dw").cast("double")).alias("w"),
+                )
+            )
+        ).alias("resource_alloc"),
+    )
+    du = deg.withColumnsRenamed({"id": "src", "degree": "du"})
+    dv = deg.withColumnsRenamed({"id": "dst", "degree": "dv"})
+    out = (
+        scored.join(du, "src")
+        .join(dv, "dst")
+        .select(
+            "src",
+            "dst",
+            "common_neighbors",
+            (
+                F.col("common_neighbors").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common_neighbors")).cast("double")
+            ).alias("jaccard"),
+            "resource_alloc",
+        )
+    )
+    return out.orderBy(
+        F.desc("common_neighbors"), F.asc("src"), F.asc("dst")
+    ).limit(k)

@@ -1,0 +1,319 @@
+"""Structural graph statistics: clustering coefficients, transitivity,
+degree assortativity, reciprocity, per-edge triangle support and k-truss
+decomposition.
+
+Target-only capabilities (BASELINE.json north rule's "link-graph
+analytics engine" surface): all are standard web-graph structure
+measures built on the package's existing triangle/degree plans — the
+reference's canonical-orientation trick (/root/reference/src/
+cc_sequential.c:418) is what makes every one of them a plain
+equi-join + aggregation, so they inherit the triangle module's skew
+story (degree orientation + AQE skew-join splits for hub wedges).
+
+Cross-engine exactness: every emitted number is either an integer
+aggregate (counts, supports, truss numbers) or ONE IEEE754 division of
+two integer-exact operands — both are reproduced bit-identically by the
+DuckDB oracle twins in entry.py, with no transcendental functions and
+no order-dependent float accumulation anywhere.
+
+Scale notes (100 TB): the triangle enumeration underneath support/truss
+is the same two-shuffle oriented join the triangle counter uses —
+degree orientation bounds per-vertex wedge fan-out by O(sqrt(E)).
+Assortativity/transitivity/reciprocity are single-pass integer
+aggregations with map-side partial combine (no per-key blowup at all).
+Truss peeling re-enumerates triangles over the SURVIVING edge set each
+round — the standard distributed k-truss (Cohen's MapReduce truss
+algorithm), where each round's input only shrinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .graph import canonicalize, degrees, symmetrize
+from .triangles import triangle_count, triangles_per_vertex
+
+
+def clustering_coefficients(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    orient_by_degree: bool = True,
+) -> DataFrame:
+    """→ (vertex, degree, triangles, lcc): local clustering coefficient
+    lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), 0.0 for deg < 2.
+
+    One division of two exact integers per vertex — bit-identical in any
+    IEEE754 engine. ``vertices`` (optional superset) adds isolated
+    vertices with degree = triangles = 0."""
+    sym = symmetrize(edges)
+    deg = degrees(sym).select(F.col("id").alias("vertex"), "degree")
+    tri = triangles_per_vertex(spark, edges, orient_by_degree=orient_by_degree)
+    base = (
+        vertices.select(F.col("id").alias("vertex"))
+        if vertices is not None
+        else deg.select("vertex")
+    )
+    out = (
+        base.join(deg, "vertex", "left")
+        .join(tri, "vertex", "left")
+        .select(
+            "vertex",
+            F.coalesce("degree", F.lit(0)).alias("degree"),
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        )
+    )
+    d = F.col("degree")
+    return out.select(
+        "vertex",
+        "degree",
+        "triangles",
+        F.when(
+            d >= 2,
+            (F.lit(2) * F.col("triangles")).cast("double") / (d * (d - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
+def transitivity(
+    spark: SparkSession, edges: DataFrame, orient_by_degree: bool = True
+) -> DataFrame:
+    """→ 1 row (triangles, wedges, transitivity): the global clustering
+    coefficient 3·|triangles| / |wedges|, wedges = Σ_v d(v)(d(v)−1)/2.
+
+    Both operands are exact integers (one global triangle count + one
+    integer degree aggregation), so the single division is bit-exact
+    cross-engine. 0.0 when the graph has no wedge. All integer paths use
+    integer division (DIV / //) so no float accumulation sneaks in."""
+    n_tri = triangle_count(spark, edges, orient_by_degree=orient_by_degree)
+    deg = degrees(symmetrize(edges))
+    w = deg.agg(F.sum(F.col("degree") * (F.col("degree") - 1)).alias("sum_dd1"))
+    return w.select(
+        F.lit(n_tri).cast("long").alias("triangles"),
+        F.expr("sum_dd1 DIV 2").alias("wedges"),
+        F.when(
+            F.col("sum_dd1") > 0,
+            (F.lit(6) * F.lit(n_tri)).cast("double") / F.col("sum_dd1").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("transitivity"),
+    )
+
+
+def degree_assortativity(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """→ 1 row (num_edges, sum_jk, sum_jpk, sum_j2k2, assortativity):
+    Newman's degree assortativity (Pearson correlation of endpoint
+    degrees over the undirected edge list).
+
+    With per-canonical-edge endpoint degrees (j, k), multiply Newman's
+    r numerator and denominator by 4M² to clear the fractions:
+
+        r = (4M·Σjk − (Σ(j+k))²) / (2M·Σ(j²+k²) − (Σ(j+k))²)
+
+    — every term an exact int64 aggregate at test scale, then ONE
+    division (cast to double) that any IEEE754 engine reproduces
+    bit-identically. At 10^12-edge scale the intermediate squares
+    overflow int64: the production variant computes the same closed form
+    over double-cast sums (exactness of the gate matters at verification
+    scale; the estimator itself is scale-free). NULL assortativity when
+    the graph is degree-regular (denominator 0)."""
+    canon = canonicalize(edges)
+    deg = degrees(symmetrize(edges))
+    e = canon.join(
+        deg.withColumnsRenamed({"id": "src", "degree": "j"}), "src"
+    ).join(deg.withColumnsRenamed({"id": "dst", "degree": "k"}), "dst")
+    j, k = F.col("j"), F.col("k")
+    sums = e.agg(
+        F.count("*").alias("num_edges"),
+        F.sum(j * k).alias("sum_jk"),
+        F.sum(j + k).alias("sum_jpk"),
+        F.sum(j * j + k * k).alias("sum_j2k2"),
+    )
+    m = F.col("num_edges")
+    num = F.lit(4) * m * F.col("sum_jk") - F.col("sum_jpk") * F.col("sum_jpk")
+    den = F.lit(2) * m * F.col("sum_j2k2") - F.col("sum_jpk") * F.col("sum_jpk")
+    return sums.select(
+        "num_edges",
+        "sum_jk",
+        "sum_jpk",
+        "sum_j2k2",
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "assortativity"
+        ),
+    )
+
+
+def reciprocity(edges_directed: DataFrame) -> DataFrame:
+    """→ 1 row (num_edges, mutual_edges, reciprocity): fraction of
+    directed (non-loop, deduped) edges whose reverse edge also exists —
+    the standard link-reciprocity measure on web graphs. One semi-join +
+    two counts + one exact-integer division."""
+    e = (
+        edges_directed.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = e.join(rev, ["src", "dst"], "left_semi")
+    stats = e.agg(F.count("*").alias("num_edges")).crossJoin(
+        mutual.agg(F.count("*").alias("mutual_edges"))
+    )
+    return stats.select(
+        "num_edges",
+        "mutual_edges",
+        F.when(
+            F.col("num_edges") > 0,
+            F.col("mutual_edges").cast("double") / F.col("num_edges").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("reciprocity"),
+    )
+
+
+def edge_support(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """→ (src, dst, support) over the canonical (src < dst) edge table:
+    support = number of triangles through the edge = |N(src) ∩ N(dst)|.
+
+    Same two-join plan as the triangle counter, but an INNER closure join
+    (not semi) so each triangle {a<b<c} emits support for all three of
+    its edges — already canonically oriented by the a<b<c invariant.
+    Edges in no triangle get support 0 (left join back onto the edge
+    table)."""
+    canon = canonicalize(edges)
+    sup = _supports(canon)
+    return (
+        canon.join(sup, ["src", "dst"], "left")
+        .select("src", "dst", F.coalesce("support", F.lit(0)).alias("support"))
+    )
+
+
+def _supports(canon: DataFrame) -> DataFrame:
+    """(src, dst, support) for canonical edges with ≥1 triangle."""
+    ab = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = canon.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = canon.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])  # rows = triangles a<b<c
+    per_edge = (
+        tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+        .unionAll(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+    )
+    return per_edge.groupBy("src", "dst").agg(F.count("*").alias("support"))
+
+
+def ktruss(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 64,
+) -> tuple[DataFrame, dict]:
+    """→ (edges (src, dst) of the k-truss, info): the maximal subgraph
+    whose every edge sits in ≥ k−2 triangles WITHIN the subgraph —
+    iterative support peel (Cohen's MapReduce k-truss): recount supports
+    over survivors, drop edges below k−2, repeat to fixpoint.
+
+    Each round is one triangle enumeration + one filter over a set that
+    only shrinks; peeling is monotone, so re-running a converged round is
+    a no-op (the property the unrolled DuckDB twin relies on).
+    localCheckpoint truncates lineage per round, same as every other
+    fixpoint here."""
+    e = canonicalize(edges).localCheckpoint(eager=True)
+    n = e.count()
+    rounds = 0
+    for _ in range(max_rounds):
+        if n == 0:
+            break
+        sup = _supports(e)
+        kept = (
+            e.join(sup, ["src", "dst"], "left")
+            .filter(F.coalesce("support", F.lit(0)) >= k - 2)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n_kept = kept.count()
+        rounds += 1
+        if n_kept == n:
+            e = kept
+            break
+        e, n = kept, n_kept
+    return e, {"k": k, "rounds": rounds, "edges": n}
+
+
+def truss_decomposition(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_k: int = 32,
+) -> tuple[DataFrame, dict]:
+    """→ ((src, dst, truss), info): per-edge truss number — the largest k
+    for which the edge survives the k-truss peel (2 for triangle-free
+    edges, by convention).
+
+    Standard staged peel: the (k+1)-truss is a subgraph of the k-truss,
+    so each stage starts from the previous survivor set (never the full
+    graph). Stages run until the survivor set is empty or ``max_k`` —
+    info records per-stage rounds so the unrolled SQL twin can pin its
+    shape."""
+    canon = canonicalize(edges).localCheckpoint(eager=True)
+    truss = canon.select("src", "dst", F.lit(2).alias("truss"))
+    survivors = canon
+    stage_rounds: dict[int, int] = {}
+    k = 3
+    while k <= max_k:
+        survivors, info = ktruss(spark, survivors, k)
+        stage_rounds[k] = info["rounds"]
+        if info["edges"] == 0:
+            break
+        upd = survivors.select("src", "dst", F.lit(k).alias("truss"))
+        truss = (
+            truss.join(upd.withColumnRenamed("truss", "_t"), ["src", "dst"], "left")
+            .select("src", "dst", F.coalesce("_t", F.col("truss")).alias("truss"))
+            .localCheckpoint(eager=True)
+        )
+        k += 1
+    return truss, {"stage_rounds": stage_rounds, "max_truss": k - 1}
+
+
+# ---------------------------------------------------------------------------
+# Independent Python simulations — differential anchors for tests
+# ---------------------------------------------------------------------------
+
+
+def _py_canon(edge_list):
+    return {(min(u, v), max(u, v)) for u, v in edge_list if u != v}
+
+
+def _py_supports(canon):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in canon:
+        adj[u].add(v)
+        adj[v].add(u)
+    return {(u, v): len(adj[u] & adj[v]) for u, v in canon}
+
+
+def support_python_oracle(edge_list):
+    """→ {(u, v) canonical: triangle support}. Test-scale."""
+    return _py_supports(_py_canon(edge_list))
+
+
+def truss_python_oracle(edge_list):
+    """→ {(u, v) canonical: truss number}. Sequential staged peel,
+    test-scale anchor for truss_decomposition."""
+    canon = _py_canon(edge_list)
+    truss = {e: 2 for e in canon}
+    survivors = set(canon)
+    k = 3
+    while survivors:
+        while True:
+            s = _py_supports(survivors)
+            kept = {e for e in survivors if s[e] >= k - 2}
+            if kept == survivors:
+                break
+            survivors = kept
+        for e in survivors:
+            truss[e] = k
+        k += 1
+    return truss

@@ -114,3 +114,31 @@ def walks_python_oracle(edge_list, seed_ids, walk_len: int = 8):
             cur = min(nbrs, key=lambda w: (portable_hash64_py(f"{s}:{t}:{cur}:{w}"), w))
             out[(s, t)] = cur
     return out
+
+
+def walk_cooccurrence(walks: DataFrame, window: int = 2) -> DataFrame:
+    """→ (center, context, pairs): skip-gram co-occurrence counts over a
+    walk corpus — the word2vec/DeepWalk training-pair generator (the
+    step after random_walks in the embedding pipeline). A pair is
+    emitted for every two positions of the same walk within ``window``
+    steps of each other, in BOTH (center, context) directions, exactly
+    as a word2vec window does; counts are integers, so the DuckDB twin
+    matches bit-for-bit.
+
+    Plan: one self-equi-join on walk_id with a bounded step-distance
+    predicate + one grouped count (map-side partial combine). Corpus
+    rows are walks × (len+1), so this never touches the edge table —
+    at 10^12 documents the corpus is sharded upstream and this join is
+    per-shard local."""
+    a = walks.select(
+        F.col("walk_id"), F.col("step").alias("_sa"), F.col("vertex").alias("center")
+    )
+    b = walks.select(
+        F.col("walk_id"), F.col("step").alias("_sb"), F.col("vertex").alias("context")
+    )
+    d = F.col("_sb") - F.col("_sa")
+    pairs = a.join(b, "walk_id").filter((d >= 1) & (d <= window))
+    both = pairs.select("center", "context").unionAll(
+        pairs.select(F.col("context").alias("center"), F.col("center").alias("context"))
+    )
+    return both.groupBy("center", "context").agg(F.count("*").alias("pairs"))
