@@ -274,6 +274,23 @@ def main() -> None:
 
     timed_aside("anf6", run_anf)
 
+    def run_edge_support():
+        from parallel_connected_components_spark.operators import edge_support
+
+        sup = edge_support(spark, edges_canon)
+        extra["support_sum"] = sup.agg(F.sum("support")).collect()[0][0]
+
+    timed_aside("edge_support", run_edge_support)
+
+    def run_truss():
+        from parallel_connected_components_spark.operators import truss_decomposition
+
+        tr, info = truss_decomposition(spark, edges_canon)
+        extra["truss_max"] = info["max_truss"]
+        tr.groupBy("truss").count().collect()
+
+    timed_aside("truss", run_truss)
+
     # -- LPA (bounded) + triangles -------------------------------------------
     timed(
         "lpa_8iter",

@@ -20,6 +20,8 @@ cc_openmp / cc_mpi all compute the same thing on one graph,
     kcore      coreness (k-core decomposition) of the undirected graph
     bfs        multi-source hop distance (--seeds, optional --max-hops)
     anf        neighborhood-function sketches + effective diameter
+    truss      per-edge truss numbers (staged k-truss peel)
+    linkpred   top-k common-neighbor link prediction (--topk, --max-degree)
     pagerank   PageRank to 1e-6 (--bucketed supported)
     lpa        community label propagation
     triangles  triangle count
@@ -102,7 +104,7 @@ def main(argv: list[str] | None = None) -> int:
         "command",
         choices=[
             "gen", "bucketize", "cc", "scc", "pagerank", "lpa", "triangles",
-            "kcore", "bfs", "anf", "stats",
+            "kcore", "bfs", "anf", "truss", "linkpred", "stats",
         ],
     )
     p.add_argument("--pages", help="pages parquet path (url/warc_ts/html/text/lang)")
@@ -132,6 +134,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--rounds", type=int, default=8,
         help="anf: sketch-propagation rounds (stops early at saturation)",
+    )
+    p.add_argument(
+        "--topk", type=int, default=50,
+        help="linkpred: number of top-scored candidate pairs",
+    )
+    p.add_argument(
+        "--max-degree", type=int, default=None,
+        help="linkpred: drop wedge middles above this degree (hub "
+        "fan-out guard; unset = uncapped)",
     )
     p.add_argument("--num-pages", type=int, default=10000)
     p.add_argument("--num-components", type=int, default=8)
@@ -475,6 +486,34 @@ def main(argv: list[str] | None = None) -> int:
             out["rounds"] = runner.num_iterations
             if args.out:
                 dists.write.mode("overwrite").parquet(args.out)
+        elif args.command == "truss":
+            from .operators import truss_decomposition as _truss
+
+            edges, _ = _load_edges(spark, args)
+            tr, info = _truss(spark, edges)
+            out["max_truss"] = info["max_truss"]
+            out["stage_rounds"] = {str(k): v for k, v in info["stage_rounds"].items()}
+            out["truss_histogram"] = sorted(
+                (r["truss"], r["count"]) for r in tr.groupBy("truss").count().collect()
+            )
+            if args.out:
+                tr.write.mode("overwrite").parquet(args.out)
+        elif args.command == "linkpred":
+            from .operators import link_prediction_topk as _lp
+
+            edges, _ = _load_edges(spark, args)
+            # scale mode (associative RA sum) — the ordered-fold variant is
+            # the oracle-verification mode (operators/linkpred.py docstring)
+            lp = _lp(
+                spark, edges, k=args.topk, max_degree=args.max_degree,
+                exact_fold=False,
+            )
+            rows = lp.collect()
+            out["pairs"] = [
+                [r.src, r.dst, r.common_neighbors, round(r.jaccard, 6)] for r in rows
+            ]
+            if args.out:
+                lp.write.mode("overwrite").parquet(args.out)
         elif args.command == "stats":
             edges, verts = _load_edges(spark, args)
             out["degrees"] = degree_stats(symmetrize(edges)).collect()[0].asDict()

@@ -42,40 +42,59 @@ def link_prediction_topk(
     edges: DataFrame,
     k: int = 50,
     max_degree: int | None = None,
+    exact_fold: bool = True,
 ) -> DataFrame:
     """→ top-k (src, dst, common_neighbors, jaccard, resource_alloc)
     over non-adjacent pairs src < dst, ordered by (common_neighbors
     desc, src, dst). ``max_degree`` drops wedge middles above the cap
-    (hub fan-out guard; None = uncapped)."""
+    (hub fan-out guard; None = uncapped).
+
+    ``exact_fold`` picks the resource-allocation accumulation:
+    True (default, the verification mode) folds Σ 1/deg(w) in ascending
+    middle-id order via collect_list — bit-reproducible by any engine,
+    but the per-pair struct lists are real aggregation-state memory at
+    crawl scale. False (the scale mode) uses a plain associative
+    F.sum — constant aggregation state with map-side partial combine;
+    identical operands, so the result differs from the exact fold by at
+    most summation-order ulps."""
     sym = symmetrize(edges)
     canon = canonicalize(edges)
     deg = degrees(sym)
     mid = deg.withColumnsRenamed({"id": "w", "degree": "dw"})
     if max_degree is not None:
         mid = mid.filter(F.col("dw") <= max_degree)
-    # wedges through w: (u, w), (w, v) with u < v → candidate pair (u, v)
-    left = sym.select(F.col("dst").alias("w"), F.col("src").alias("u"))
-    right = sym.select(F.col("src").alias("w"), F.col("dst").alias("v"))
-    wedges = (
-        left.join(right, "w")
-        .filter(F.col("u") < F.col("v"))
-        .join(mid, "w")  # degree of the middle rides the wedge row
+    # wedges through w: (u, w), (w, v) with u < v → candidate pair (u, v).
+    # The middle-degree join (which also APPLIES the max_degree cap) sits
+    # BELOW the self-join, so a capped hub never reaches the deg(w)^2
+    # fan-out at all; dw rides the left input onto every wedge row.
+    # shuffle_hash on the bounded build sides only (vertex/edge tables);
+    # the wedge stream stays the probe side — hinting it lets Spark's
+    # meaningless self-join estimate build a huge hash map (OOM).
+    left = sym.select(F.col("dst").alias("w"), F.col("src").alias("u")).join(
+        mid.hint("shuffle_hash"), "w"
     )
+    right = sym.select(F.col("src").alias("w"), F.col("dst").alias("v")).hint(
+        "shuffle_hash"
+    )
+    wedges = left.join(right, "w").filter(F.col("u") < F.col("v"))
     cand = wedges.join(
-        canon.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        canon.select(F.col("src").alias("u"), F.col("dst").alias("v")).hint(
+            "shuffle_hash"
+        ),
         ["u", "v"],
         "left_anti",
     )
+    ra_term = F.lit(1.0) / F.col("dw").cast("double")
+    ra = (
+        _ordered_fold(
+            F.collect_list(F.struct(F.col("w").alias("k"), ra_term.alias("w")))
+        )
+        if exact_fold
+        else F.sum(ra_term)
+    )
     scored = cand.groupBy(F.col("u").alias("src"), F.col("v").alias("dst")).agg(
         F.count("*").alias("common_neighbors"),
-        _ordered_fold(
-            F.collect_list(
-                F.struct(
-                    F.col("w").alias("k"),
-                    (F.lit(1.0) / F.col("dw").cast("double")).alias("w"),
-                )
-            )
-        ).alias("resource_alloc"),
+        ra.alias("resource_alloc"),
     )
     du = deg.withColumnsRenamed({"id": "src", "degree": "du"})
     dv = deg.withColumnsRenamed({"id": "dst", "degree": "dv"})

@@ -184,16 +184,23 @@ def edge_support(spark: SparkSession, edges: DataFrame) -> DataFrame:
     canon = canonicalize(edges)
     sup = _supports(canon)
     return (
-        canon.join(sup, ["src", "dst"], "left")
+        canon.join(sup.hint("shuffle_hash"), ["src", "dst"], "left")
         .select("src", "dst", F.coalesce("support", F.lit(0)).alias("support"))
     )
 
 
 def _supports(canon: DataFrame) -> DataFrame:
-    """(src, dst, support) for canonical edges with ≥1 triangle."""
+    """(src, dst, support) for canonical edges with ≥1 triangle.
+
+    The edge input of each join is shuffle_hash-hinted: per-partition
+    edge slices are bounded build sides, and sort-merge's per-join sorts
+    of the 18M-edge table are pure overhead — measured 46s (SMJ) vs 19s
+    (hash) warm at 18M edges, local[32]. The wedge stream stays the
+    PROBE side (no hint): hinting it too lets Spark's meaningless
+    self-join size estimate pick a 100M-row build map → executor OOM."""
     ab = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    bc = canon.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    ac = canon.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    bc = canon.select(F.col("src").alias("b"), F.col("dst").alias("c")).hint("shuffle_hash")
+    ac = canon.select(F.col("src").alias("a"), F.col("dst").alias("c")).hint("shuffle_hash")
     tri = ab.join(bc, "b").join(ac, ["a", "c"])  # rows = triangles a<b<c
     per_edge = (
         tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -208,6 +215,7 @@ def ktruss(
     edges: DataFrame,
     k: int,
     max_rounds: int = 64,
+    _pinned: bool = False,
 ) -> tuple[DataFrame, dict]:
     """→ (edges (src, dst) of the k-truss, info): the maximal subgraph
     whose every edge sits in ≥ k−2 triangles WITHIN the subgraph —
@@ -217,9 +225,15 @@ def ktruss(
     Each round is one triangle enumeration + one filter over a set that
     only shrinks; peeling is monotone, so re-running a converged round is
     a no-op (the property the unrolled DuckDB twin relies on).
-    localCheckpoint truncates lineage per round, same as every other
-    fixpoint here."""
-    e = canonicalize(edges).localCheckpoint(eager=True)
+    localCheckpoint truncates lineage per round, and the superseded
+    round's checkpoint blocks are unpersisted immediately (the runner's
+    prev-unpersist discipline — without it the per-round edge snapshots
+    accumulate and a deep peel at 18M edges exhausts the executor
+    heap). ``_pinned`` (internal, truss_decomposition) declares the
+    input already canonical + checkpointed: skips the redundant copy
+    and never unpersists the caller-owned input."""
+    e = edges if _pinned else canonicalize(edges).localCheckpoint(eager=True)
+    owned = not _pinned
     n = e.count()
     rounds = 0
     for _ in range(max_rounds):
@@ -227,17 +241,19 @@ def ktruss(
             break
         sup = _supports(e)
         kept = (
-            e.join(sup, ["src", "dst"], "left")
+            e.join(sup.hint("shuffle_hash"), ["src", "dst"], "left")
             .filter(F.coalesce("support", F.lit(0)) >= k - 2)
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
         n_kept = kept.count()
         rounds += 1
-        if n_kept == n:
-            e = kept
+        done = n_kept == n
+        if owned:
+            e.unpersist()
+        e, owned, n = kept, True, n_kept
+        if done:
             break
-        e, n = kept, n_kept
     return e, {"k": k, "rounds": rounds, "edges": n}
 
 
@@ -261,17 +277,32 @@ def truss_decomposition(
     stage_rounds: dict[int, int] = {}
     k = 3
     while k <= max_k:
-        survivors, info = ktruss(spark, survivors, k)
+        # _pinned: survivors is always canonical and checkpointed here, so
+        # ktruss must not re-copy it (three live 18M-edge snapshots was a
+        # measured executor OOM) nor unpersist it (we own the lifetime).
+        next_survivors, info = ktruss(spark, survivors, k, _pinned=True)
+        if next_survivors is not survivors and survivors is not canon:
+            survivors.unpersist()  # superseded stage snapshot
+        survivors = next_survivors
         stage_rounds[k] = info["rounds"]
         if info["edges"] == 0:
             break
+        # info["edges"] > 0 ⇒ the peel ran ≥1 round ⇒ survivors is a fresh
+        # checkpoint, never canon — the unpersists below rely on that.
         upd = survivors.select("src", "dst", F.lit(k).alias("truss"))
-        truss = (
+        next_truss = (
             truss.join(upd.withColumnRenamed("truss", "_t"), ["src", "dst"], "left")
             .select("src", "dst", F.coalesce("_t", F.col("truss")).alias("truss"))
             .localCheckpoint(eager=True)
         )
+        if k == 3:
+            canon.unpersist()  # truss's base view of canon just materialized
+        else:
+            truss.unpersist()
+        truss = next_truss
         k += 1
+    if survivors is not canon:
+        survivors.unpersist()  # not returned; truss snapshots are independent
     return truss, {"stage_rounds": stage_rounds, "max_truss": k - 1}
 
 

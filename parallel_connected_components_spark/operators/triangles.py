@@ -44,14 +44,21 @@ def triangle_count(
     spark: SparkSession, edges: DataFrame, orient_by_degree: bool = False
 ) -> int:
     e = _oriented(edges, orient_by_degree)
+    # shuffle_hash on the EDGE input only: per-partition edge slices are
+    # bounded so they are safe hash-map build sides, and sort-merge's
+    # per-join sorts are pure overhead (measured 2.4x at 18M edges —
+    # operators/structure.py:_supports). The wedge stream must stay the
+    # probe side: hinting it too lets Spark's (meaningless) self-join
+    # size estimate pick a 100M-row build map → executor OOM.
     wedges = (
         e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .join(
-            e.select(F.col("src").alias("b"), F.col("dst").alias("c")), "b"
+            e.select(F.col("src").alias("b"), F.col("dst").alias("c")).hint("shuffle_hash"),
+            "b",
         )
     )
     closed = wedges.join(
-        e.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        e.select(F.col("src").alias("a"), F.col("dst").alias("c")).hint("shuffle_hash"),
         ["a", "c"],
         "left_semi",
     )
@@ -63,11 +70,16 @@ def triangles_per_vertex(
 ) -> DataFrame:
     """→ (vertex, triangles): per-vertex triangle participation counts."""
     e = _oriented(edges, orient_by_degree)
+    # shuffle_hash on the edge input only — see triangle_count for why the
+    # wedge stream must remain the probe side.
     tri = (
         e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .join(e.select(F.col("src").alias("b"), F.col("dst").alias("c")), "b")
         .join(
-            e.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+            e.select(F.col("src").alias("b"), F.col("dst").alias("c")).hint("shuffle_hash"),
+            "b",
+        )
+        .join(
+            e.select(F.col("src").alias("a"), F.col("dst").alias("c")).hint("shuffle_hash"),
             ["a", "c"],
             "left_semi",
         )

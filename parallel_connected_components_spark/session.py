@@ -56,7 +56,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 0.5 GB/core at local[32] — the sandbox analog of a normally
+        # provisioned executor. The old 8g default (0.25 GB/core, thinner
+        # than any production layout) made the triangle family's
+        # shuffle-hash builds fail at 18M edges: round-5 truss peel OOM'd
+        # at 8g, clean at 16g (BENCH/BASELINE.md structural-family notes).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # The iteration runner reads cumulative shuffle bytes from the
         # app-status store (plans/runner.py:ShuffleMeter). Round 4 set

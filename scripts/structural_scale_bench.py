@@ -36,7 +36,9 @@ sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from parallel_connected_components_spark.session import get_spark
 from parallel_connected_components_spark.operators import (
-    bfs_hops, coreness, scc, symmetrize)
+    bfs_hops, coreness, scc, symmetrize,
+    clustering_coefficients, degree_assortativity, edge_support,
+    link_prediction_topk, truss_decomposition)
 spark = get_spark("structscale", cores={cores})
 ops = set({ops!r}.split(","))
 canon = spark.read.parquet({edges!r}).localCheckpoint(eager=True)
@@ -71,6 +73,44 @@ if "scc" in ops:
     out["scc_sec"] = round(time.perf_counter() - t0, 3)
     out["scc_rounds"] = info["rounds"]
 
+if "support" in ops:
+    t0 = time.perf_counter()
+    sup = edge_support(spark, canon)
+    out["support_sum"] = sup.agg(F.sum("support")).collect()[0][0]
+    out["support_sec"] = round(time.perf_counter() - t0, 3)
+
+if "lcc" in ops:
+    t0 = time.perf_counter()
+    lcc = clustering_coefficients(spark, canon)
+    # force the triangle aggregate: a bare count() lets Catalyst eliminate
+    # the unique-key left join and time only the degree scan
+    row = lcc.agg(F.sum("triangles").alias("t"), F.sum("lcc").alias("l")).collect()[0]
+    out["lcc_tri_sum"] = row["t"]
+    out["lcc_sec"] = round(time.perf_counter() - t0, 3)
+
+if "truss" in ops:
+    t0 = time.perf_counter()
+    tr, tinfo = truss_decomposition(spark, canon)
+    out["truss_hist"] = sorted(
+        (r["truss"], r["count"]) for r in tr.groupBy("truss").count().collect())
+    out["truss_sec"] = round(time.perf_counter() - t0, 3)
+    out["truss_rounds"] = tinfo["stage_rounds"]
+
+if "linkpred" in ops:
+    t0 = time.perf_counter()
+    # exact_fold=False: the scale mode (associative RA sum) — the ordered
+    # collect_list fold is the verification mode and its per-pair struct
+    # lists are avoidable aggregation-state memory at this input size
+    lp = link_prediction_topk(spark, canon, k=50, max_degree=64, exact_fold=False)
+    out["linkpred_rows"] = lp.count()
+    out["linkpred_sec"] = round(time.perf_counter() - t0, 3)
+
+if "assort" in ops:
+    t0 = time.perf_counter()
+    row = degree_assortativity(spark, canon).collect()[0]
+    out["assortativity"] = round(row["assortativity"], 6)
+    out["assort_sec"] = round(time.perf_counter() - t0, 3)
+
 print("SCALERESULT " + json.dumps(out))
 spark.stop()
 """
@@ -90,13 +130,24 @@ def _once(edges: str, cores: int, ops: str) -> dict:
 
 
 def _level(edges: str, cores: int, reps: int, ops: str) -> dict:
-    runs = [_once(edges, cores, ops) for _ in range(max(1, reps))]
-    keys = [k for k in ("coreness_sec", "khop_sec", "scc_sec") if k in runs[0]]
+    runs, failed = [], 0
+    for _ in range(max(1, reps)):
+        try:
+            runs.append(_once(edges, cores, ops))
+        except (RuntimeError, subprocess.TimeoutExpired) as e:
+            # a rep dying (external-load OOM, timeout) must not discard
+            # the level's surviving samples — record and carry on
+            failed += 1
+            print(f"WARN rep failed at cores={cores}: {str(e)[:300]}", file=sys.stderr)
+    if not runs:
+        raise RuntimeError(f"all {reps} reps failed at cores={cores}")
+    keys = [k for k in runs[0] if k.endswith("_sec")]
     best = dict(runs[0])
     for r in runs[1:]:
         for k in keys:
             best[k] = min(best[k], r[k])
     best["samples"] = {k: [r[k] for r in runs] for k in keys}
+    best["failed_reps"] = failed
     best["loadavg_1m"] = round(os.getloadavg()[0], 2)
     return best
 

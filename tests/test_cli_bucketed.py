@@ -165,3 +165,22 @@ def test_bucketed_rejects_incompatible_flags(cli, tmp_path):
             ["pagerank", "--bucketed", str(tmp_path),
              "--checkpoint-dir", str(tmp_path / "ck")]
         )
+
+
+def test_cli_truss_and_linkpred(cli, tmp_path, capsys):
+    mtx = tmp_path / "t.mtx"
+    mtx.write_text(MTX)
+    # triangle {0,1,2}: truss 3; path edges 3-4, 4-5: truss 2
+    cli.main(["truss", "--mtx", str(mtx)])
+    out = _last_json(capsys)
+    assert out["max_truss"] == 3
+    assert out["truss_histogram"] == [[2, 2], [3, 3]]
+    # K4 minus (2,3): top predicted pair is (2,3) with 2 common neighbors
+    mtx2 = tmp_path / "l.mtx"
+    mtx2.write_text(
+        "%%MatrixMarket matrix coordinate pattern general\n"
+        "4 4 5\n1 2\n1 3\n1 4\n2 3\n2 4\n"
+    )
+    cli.main(["linkpred", "--mtx", str(mtx2), "--topk", "3"])
+    out = _last_json(capsys)
+    assert out["pairs"][0][:3] == [2, 3, 2]

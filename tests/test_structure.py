@@ -226,3 +226,50 @@ def test_walk_cooccurrence_differential(spark):
         for r in walk_cooccurrence(walks, window=window).collect()
     }
     assert got == dict(want)
+
+
+# ------------------------------------------------------------- plan shape
+
+
+def test_support_enumeration_plan_shape(spark):
+    """The triangle-enumeration joins must execute as ShuffledHashJoin
+    with the EDGE table as build side and never fall back to sort-merge:
+    the wedge stream is unbounded (self-join fan-out) so it must stay
+    the probe/stream side — a build-side flip was a measured executor
+    OOM at 18M edges, and sort-merge's sorts were a measured 2.4x
+    overhead (COVERAGE.md round-5 notes)."""
+    edge_list = _rand_edges(31, n=40, m=160)
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    sup = edge_support(spark, df)
+    sup.collect()  # executed (final, AQE-resolved) plan
+    plan = sup._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    # every hash build is BuildRight: probe (stream) side is always the
+    # wedge stream / canonical table on the left
+    import re
+
+    builds = re.findall(r"ShuffledHashJoin .*?(Build\w+)", plan)
+    assert builds and all(b == "BuildRight" for b in builds), plan
+
+
+def test_link_prediction_scale_fold_matches_exact(spark):
+    """exact_fold=False (associative RA sum, the scale mode) must agree
+    with the ordered-fold verification mode on identical pairs/counts,
+    and on RA up to summation-order ulps."""
+    edge_list = _rand_edges(62)
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    exact = {
+        (r.src, r.dst): r
+        for r in link_prediction_topk(spark, df, k=1000).collect()
+    }
+    fast = {
+        (r.src, r.dst): r
+        for r in link_prediction_topk(spark, df, k=1000, exact_fold=False).collect()
+    }
+    assert exact.keys() == fast.keys()
+    for key, e in exact.items():
+        f = fast[key]
+        assert f.common_neighbors == e.common_neighbors
+        assert f.jaccard == e.jaccard
+        assert f.resource_alloc == pytest.approx(e.resource_alloc, rel=1e-12)
