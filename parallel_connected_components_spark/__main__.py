@@ -490,7 +490,10 @@ def main(argv: list[str] | None = None) -> int:
             from .operators import truss_decomposition as _truss
 
             edges, _ = _load_edges(spark, args)
-            tr, info = _truss(spark, edges)
+            # degree orientation, as the triangles subcommand: crawl hubs
+            # sit at arbitrary ids (measured 32x on a 40k-degree mid-id
+            # hub, BENCH/BASELINE.md truss-family section)
+            tr, info = _truss(spark, edges, orient_by_degree=True)
             out["max_truss"] = info["max_truss"]
             out["stage_rounds"] = {str(k): v for k, v in info["stage_rounds"].items()}
             out["truss_histogram"] = sorted(

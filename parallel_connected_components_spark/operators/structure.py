@@ -172,24 +172,28 @@ def reciprocity(edges_directed: DataFrame) -> DataFrame:
     )
 
 
-def edge_support(spark: SparkSession, edges: DataFrame) -> DataFrame:
+def edge_support(
+    spark: SparkSession, edges: DataFrame, orient_by_degree: bool = False
+) -> DataFrame:
     """→ (src, dst, support) over the canonical (src < dst) edge table:
     support = number of triangles through the edge = |N(src) ∩ N(dst)|.
 
     Same two-join plan as the triangle counter, but an INNER closure join
-    (not semi) so each triangle {a<b<c} emits support for all three of
-    its edges — already canonically oriented by the a<b<c invariant.
-    Edges in no triangle get support 0 (left join back onto the edge
-    table)."""
+    (not semi) so each triangle emits support for all three of its
+    edges. Edges in no triangle get support 0 (left join back onto the
+    edge table). ``orient_by_degree`` enumerates under the (degree, id)
+    order — identical output, hub-skew-safe wedge fan-out (see
+    ``_supports``)."""
     canon = canonicalize(edges)
-    sup = _supports(canon)
+    deg = degrees(symmetrize(edges)) if orient_by_degree else None
+    sup = _supports(canon, deg)
     return (
         canon.join(sup.hint("shuffle_hash"), ["src", "dst"], "left")
         .select("src", "dst", F.coalesce("support", F.lit(0)).alias("support"))
     )
 
 
-def _supports(canon: DataFrame) -> DataFrame:
+def _supports(canon: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """(src, dst, support) for canonical edges with ≥1 triangle.
 
     The edge input of each join is shuffle_hash-hinted: per-partition
@@ -197,16 +201,49 @@ def _supports(canon: DataFrame) -> DataFrame:
     of the 18M-edge table are pure overhead — measured 46s (SMJ) vs 19s
     (hash) warm at 18M edges, local[32]. The wedge stream stays the
     PROBE side (no hint): hinting it too lets Spark's meaningless
-    self-join size estimate pick a 100M-row build map → executor OOM."""
-    ab = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    bc = canon.select(F.col("src").alias("b"), F.col("dst").alias("c")).hint("shuffle_hash")
-    ac = canon.select(F.col("src").alias("a"), F.col("dst").alias("c")).hint("shuffle_hash")
-    tri = ab.join(bc, "b").join(ac, ["a", "c"])  # rows = triangles a<b<c
-    per_edge = (
-        tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
-        .unionAll(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
-    )
+    self-join size estimate pick a 100M-row build map → executor OOM.
+
+    ``deg`` (optional ``(id, degree)`` table) switches the enumeration
+    to degree orientation — each edge low→high by (degree, id) instead
+    of id — which bounds every vertex's oriented out-degree by O(√E) and
+    kills the wedge blowup of a mid-id hub (a hub that is its block's
+    MINIMUM id is harmless under id order, which is why the synthetic
+    bench graph doesn't need this; a crawl hub has no such luck). Any
+    total order enumerates each triangle exactly once, so supports are
+    identical; emitted edges are re-canonicalized by id. For the truss
+    peel, degrees of the ORIGINAL graph remain a valid total order on
+    every survivor subset — no per-round degree recount."""
+    if deg is None:
+        e = canon
+    else:
+        d = deg.select(F.col("id"), F.col("degree"))
+        ed = canon.join(
+            d.withColumnsRenamed({"id": "src", "degree": "_ds"}).hint("shuffle_hash"),
+            "src",
+        ).join(
+            d.withColumnsRenamed({"id": "dst", "degree": "_dd"}).hint("shuffle_hash"),
+            "dst",
+        )
+        fwd = F.struct("_ds", "src") < F.struct("_dd", "dst")
+        e = ed.select(
+            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("src"),
+            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+        )
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c")).hint("shuffle_hash")
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c")).hint("shuffle_hash")
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])  # one row per triangle
+    pairs = [("a", "b"), ("b", "c"), ("a", "c")]
+    if deg is None:
+        sides = [
+            tri.select(F.col(x).alias("src"), F.col(y).alias("dst")) for x, y in pairs
+        ]  # orientation IS canonical (a<b<c by id)
+    else:
+        sides = [
+            tri.select(F.least(x, y).alias("src"), F.greatest(x, y).alias("dst"))
+            for x, y in pairs
+        ]
+    per_edge = sides[0].unionAll(sides[1]).unionAll(sides[2])
     return per_edge.groupBy("src", "dst").agg(F.count("*").alias("support"))
 
 
@@ -215,7 +252,9 @@ def ktruss(
     edges: DataFrame,
     k: int,
     max_rounds: int = 64,
+    orient_by_degree: bool = False,
     _pinned: bool = False,
+    _deg: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """→ (edges (src, dst) of the k-truss, info): the maximal subgraph
     whose every edge sits in ≥ k−2 triangles WITHIN the subgraph —
@@ -231,15 +270,22 @@ def ktruss(
     accumulate and a deep peel at 18M edges exhausts the executor
     heap). ``_pinned`` (internal, truss_decomposition) declares the
     input already canonical + checkpointed: skips the redundant copy
-    and never unpersists the caller-owned input."""
+    and never unpersists the caller-owned input. ``orient_by_degree``
+    enumerates under the original graph's (degree, id) order — a valid
+    total order on every survivor subset, identical peel result,
+    hub-skew-safe (``_deg`` lets truss_decomposition pass the degree
+    table once instead of recomputing per stage)."""
     e = edges if _pinned else canonicalize(edges).localCheckpoint(eager=True)
     owned = not _pinned
+    deg = _deg
+    if orient_by_degree and deg is None:
+        deg = degrees(symmetrize(e)).localCheckpoint(eager=True)
     n = e.count()
     rounds = 0
     for _ in range(max_rounds):
         if n == 0:
             break
-        sup = _supports(e)
+        sup = _supports(e, deg)
         kept = (
             e.join(sup.hint("shuffle_hash"), ["src", "dst"], "left")
             .filter(F.coalesce("support", F.lit(0)) >= k - 2)
@@ -254,6 +300,8 @@ def ktruss(
         e, owned, n = kept, True, n_kept
         if done:
             break
+    if deg is not None and _deg is None:
+        deg.unpersist()  # ours, not the caller's
     return e, {"k": k, "rounds": rounds, "edges": n}
 
 
@@ -261,6 +309,7 @@ def truss_decomposition(
     spark: SparkSession,
     edges: DataFrame,
     max_k: int = 32,
+    orient_by_degree: bool = False,
 ) -> tuple[DataFrame, dict]:
     """→ ((src, dst, truss), info): per-edge truss number — the largest k
     for which the edge survives the k-truss peel (2 for triangle-free
@@ -270,8 +319,15 @@ def truss_decomposition(
     so each stage starts from the previous survivor set (never the full
     graph). Stages run until the survivor set is empty or ``max_k`` —
     info records per-stage rounds so the unrolled SQL twin can pin its
-    shape."""
+    shape. ``orient_by_degree``: hub-skew-safe enumeration order,
+    identical truss numbers (degrees computed once on the input graph —
+    a valid total order on every survivor subset)."""
     canon = canonicalize(edges).localCheckpoint(eager=True)
+    deg = (
+        degrees(symmetrize(canon)).localCheckpoint(eager=True)
+        if orient_by_degree
+        else None
+    )
     truss = canon.select("src", "dst", F.lit(2).alias("truss"))
     survivors = canon
     stage_rounds: dict[int, int] = {}
@@ -280,7 +336,10 @@ def truss_decomposition(
         # _pinned: survivors is always canonical and checkpointed here, so
         # ktruss must not re-copy it (three live 18M-edge snapshots was a
         # measured executor OOM) nor unpersist it (we own the lifetime).
-        next_survivors, info = ktruss(spark, survivors, k, _pinned=True)
+        next_survivors, info = ktruss(
+            spark, survivors, k,
+            orient_by_degree=orient_by_degree, _pinned=True, _deg=deg,
+        )
         if next_survivors is not survivors and survivors is not canon:
             survivors.unpersist()  # superseded stage snapshot
         survivors = next_survivors
@@ -303,6 +362,8 @@ def truss_decomposition(
         k += 1
     if survivors is not canon:
         survivors.unpersist()  # not returned; truss snapshots are independent
+    if deg is not None:
+        deg.unpersist()
     return truss, {"stage_rounds": stage_rounds, "max_truss": k - 1}
 
 

@@ -273,3 +273,31 @@ def test_link_prediction_scale_fold_matches_exact(spark):
         assert f.common_neighbors == e.common_neighbors
         assert f.jaccard == e.jaccard
         assert f.resource_alloc == pytest.approx(e.resource_alloc, rel=1e-12)
+
+
+@pytest.mark.parametrize("seed", [71, 72])
+def test_support_degree_orientation_identical(spark, seed):
+    """Degree orientation is a different total order over the same
+    triangle set — supports and truss numbers must be identical to the
+    id-oriented default (and to the python oracle). The hub vertex 100
+    sits mid-id with high degree: the exact shape where id order blows
+    up wedge fan-out and degree order doesn't."""
+    rng = random.Random(seed)
+    n = 30
+    edge_list = list({(rng.randrange(n), rng.randrange(n)) for _ in range(60)})
+    # mid-id hub: ids 0..n-1 below, 101..120 above, hub=100 wired to all
+    edge_list += [(100, i) for i in range(n)]
+    edge_list += [(100, 100 + i) for i in range(1, 21)]
+    edge_list += [(i, 100 + i) for i in range(1, 21)]  # close hub triangles
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    by_id = {(r.src, r.dst): r.support for r in edge_support(spark, df).collect()}
+    by_deg = {
+        (r.src, r.dst): r.support
+        for r in edge_support(spark, df, orient_by_degree=True).collect()
+    }
+    assert by_id == by_deg == support_python_oracle(edge_list)
+    t_id, _ = truss_decomposition(spark, df)
+    t_deg, _ = truss_decomposition(spark, df, orient_by_degree=True)
+    got_id = {(r.src, r.dst): r.truss for r in t_id.collect()}
+    got_deg = {(r.src, r.dst): r.truss for r in t_deg.collect()}
+    assert got_id == got_deg == truss_python_oracle(edge_list)
