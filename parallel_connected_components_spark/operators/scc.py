@@ -54,8 +54,9 @@ implemented (road networks are not meaningfully directed).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
+from ..plans.runner import fixpoint_conf
 from .graph import vertices_of
 
 
@@ -71,13 +72,52 @@ def scc(
     edges are dropped (a self-loop vertex is still a singleton SCC — the
     default vertex set is taken from the RAW endpoints, before the
     filter); ``vertices`` (optional superset of endpoints) adds isolated
-    vertices as singleton SCCs."""
+    vertices as singleton SCCs.
+
+    Round-6 plan shape (the r5 verdict's "trim loop costs one action per
+    peel pass" fix, measured in OPTIMIZATION_r06.md):
+    - the deduped directed edge table is pinned (hash(src), sorted,
+      persisted) with ONE exchange — hash(src) already satisfies the
+      (src, dst) dedup's clustering requirement — and the round-1
+      coloring LP reuses it via ``assume_pinned`` instead of re-pinning;
+    - each trim pass is one union + max-aggregation over the edge
+      endpoints (has-in AND has-out) with the survivor count riding an
+      Observation on the pass's own materialization — replacing the 2
+      distinct + 2 semi-join + count() formulation (5 jobs → 1);
+    - the backward-mark edge table keeps the color joins shuffle-hash
+      (no sort-merge sorts) and is handed to the mark LP already
+      persisted with its dst-join partitioning (= the reversed table's
+      src), skipping the third exchange;
+    - extraction fuses the marked-filter and label joins into one and
+      derives the shrunken vertex count arithmetically (marked ⊆ rem_v),
+      and the remainder's edge table is only rebuilt when a remainder
+      exists."""
+    with fixpoint_conf(spark):
+        return _scc_impl(spark, edges, vertices, max_rounds, max_iterations)
+
+
+def _scc_impl(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None,
+    max_rounds: int,
+    max_iterations: int,
+) -> tuple[DataFrame, dict]:
+    from .cc import cc_label_propagation
+
+    n_part = spark.sparkContext.defaultParallelism
     e_raw = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-    e_all = (
+    # one exchange total: hash(src) partitioning satisfies the (src, dst)
+    # dedup's clustering requirement AND is the LP pin layout (the sort
+    # is pin_edges' cache-compression trick)
+    e_pin = (
         e_raw.filter(F.col("src") != F.col("dst"))
+        .repartition(n_part, "src")
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
+        .sortWithinPartitions("src", "dst")
+        .persist()
     )
+    e_pin.count()
     verts = (
         (vertices.select("id") if vertices is not None else vertices_of(e_raw))
         .select(F.col("id").cast("long").alias("vertex"))
@@ -85,7 +125,8 @@ def scc(
     )
     info = {"rounds": 0, "trim_passes": 0, "color_steps": 0, "mark_steps": 0}
     done: list[DataFrame] = []
-    rem_v, rem_e = verts, e_all
+    rem_v, rem_e = verts, e_pin
+    rem_pinned = True  # rem_e is e_pin (src-partitioned + persisted)
     n_v = rem_v.count()
     steps = 0
 
@@ -100,108 +141,152 @@ def scc(
                 "condensation; raise the cap"
             )
 
-    while n_v > 0:
-        info["rounds"] += 1
-        if info["rounds"] > max_rounds:
-            raise RuntimeError(f"scc exceeded max_rounds={max_rounds}")
+    try:
+        while n_v > 0:
+            info["rounds"] += 1
+            if info["rounds"] > max_rounds:
+                raise RuntimeError(f"scc exceeded max_rounds={max_rounds}")
 
-        # ---- 1. trim to fixpoint --------------------------------------
-        while True:
-            _tick("trim_passes")
-            srcs = rem_e.select(F.col("src").alias("vertex")).distinct()
-            dsts = rem_e.select(F.col("dst").alias("vertex")).distinct()
-            keep = (
-                rem_v.join(srcs, "vertex", "leftsemi")
-                .join(dsts, "vertex", "leftsemi")
-                .localCheckpoint(eager=True)
-            )
-            n_keep = keep.count()
-            if n_keep == n_v:
-                break
-            done.append(
-                rem_v.join(keep, "vertex", "leftanti")
-                .select("vertex", F.col("vertex").alias("label"))
-                .localCheckpoint(eager=True)
-            )
-            rem_v, n_v = keep, n_keep
+            # ---- 1. trim to fixpoint ----------------------------------
+            # A vertex with no in-edge or no out-edge in the remaining
+            # graph is a singleton SCC. One union + max-agg per pass
+            # (partial aggregation bounds hub keys); survivor count rides
+            # the pass's own materialization.
+            while True:
+                _tick("trim_passes")
+                obs = Observation()
+                keep = (
+                    rem_e.select(
+                        F.col("src").alias("vertex"),
+                        F.lit(1).alias("o"), F.lit(0).alias("i"),
+                    )
+                    .union(
+                        rem_e.select(
+                            F.col("dst").alias("vertex"),
+                            F.lit(0).alias("o"), F.lit(1).alias("i"),
+                        )
+                    )
+                    .groupBy("vertex")
+                    .agg(F.max("o").alias("o"), F.max("i").alias("i"))
+                    .filter((F.col("o") == 1) & (F.col("i") == 1))
+                    .select("vertex")
+                    .observe(obs, F.count(F.lit(1)).alias("c"))
+                    .localCheckpoint(eager=True)
+                )
+                n_keep = obs.get["c"] or 0
+                if n_keep == n_v:
+                    break
+                # keep ⊆ endpoints(rem_e) ⊆ rem_v, so rem_v \ keep is the
+                # trimmed set (including vertices isolated by extraction)
+                done.append(
+                    rem_v.join(keep.hint("shuffle_hash"), "vertex", "leftanti")
+                    .select("vertex", F.col("vertex").alias("label"))
+                    .localCheckpoint(eager=True)
+                )
+                rem_v, n_v = keep, n_keep
+                if n_v == 0:
+                    break
+                rem_e = (
+                    rem_e.join(
+                        keep.select(F.col("vertex").alias("src")).hint("shuffle_hash"),
+                        "src", "leftsemi",
+                    )
+                    .join(
+                        keep.select(F.col("vertex").alias("dst")).hint("shuffle_hash"),
+                        "dst", "leftsemi",
+                    )
+                    .select("src", "dst")
+                    .localCheckpoint(eager=True)
+                )
+                rem_pinned = False
             if n_v == 0:
                 break
+
+            # ---- 2. coloring: forward min-id propagation to fixpoint --
+            # This IS min-label propagation restricted to the edge
+            # direction: feeding cc_label_propagation the DIRECTED edge
+            # table makes its fixpoint label(v) = min({v} ∪ {u : u ⇝ v})
+            # — exactly the coloring. Round 1 reuses the pinned table
+            # (assume_pinned) instead of re-exchanging it.
+            rem_ids = rem_v.select(F.col("vertex").alias("id"))
+            colors, lp_runner = cc_label_propagation(
+                spark, rem_e, vertices=rem_ids, frontier=True,
+                max_iterations=max_iterations, assume_pinned=rem_pinned,
+            )
+            info["color_steps"] += lp_runner.num_iterations
+            steps += lp_runner.num_iterations
+            color = colors.select(
+                "vertex", F.col("label").alias("color")
+            ).localCheckpoint(eager=True)
+
+            # ---- 3. backward mark from the color roots ----------------
+            # A color root r is the MINIMUM of its class (color(v) = r
+            # means r ⇝ v, and v ⇝ v gives r ≤ v), so the backward sweep
+            # is min-label propagation again — over the REVERSED
+            # same-color edges. The dst-side color join runs LAST so the
+            # reversed table comes out hash-partitioned on its new src;
+            # persisting that (partitioning-preserving) lets the mark LP
+            # run assume_pinned with no further exchange.
+            cs = color.select(
+                F.col("vertex").alias("src"), F.col("color").alias("_c1")
+            ).hint("shuffle_hash")
+            cd = color.select(
+                F.col("vertex").alias("dst"), F.col("color").alias("_c2")
+            ).hint("shuffle_hash")
+            ec_rev = (
+                rem_e.join(cs, "src")
+                .join(cd, "dst")
+                .filter(F.col("_c1") == F.col("_c2"))
+                .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                .persist()
+            )
+            labelsb, bw_runner = cc_label_propagation(
+                spark, ec_rev, vertices=rem_ids, frontier=True,
+                max_iterations=max_iterations, assume_pinned=True,
+            )
+            info["mark_steps"] += bw_runner.num_iterations
+            steps += bw_runner.num_iterations
+
+            # ---- 4. extract + shrink ----------------------------------
+            # v ∈ SCC(root of its class) iff its backward min label
+            # equals its color; one fused join emits (vertex, label).
+            obs = Observation()
+            sel = (
+                labelsb.withColumnRenamed("label", "_lb")
+                .join(color.hint("shuffle_hash"), "vertex")
+                .filter(F.col("_lb") == F.col("color"))
+                .select("vertex", F.col("color").alias("label"))
+                .observe(obs, F.count(F.lit(1)).alias("c"))
+                .localCheckpoint(eager=True)
+            )
+            done.append(sel)
+            n_marked = obs.get["c"] or 0
+            ec_rev.unpersist()
+            if n_marked >= n_v:  # everything extracted — no remainder
+                n_v = 0
+                break
+            rem_v = (
+                rem_v.join(
+                    sel.select("vertex").hint("shuffle_hash"), "vertex", "leftanti"
+                )
+                .localCheckpoint(eager=True)
+            )
+            n_v -= n_marked  # sel ⊆ rem_v, distinct — no count job
             rem_e = (
-                rem_e.join(keep.select(F.col("vertex").alias("src")), "src", "leftsemi")
-                .join(keep.select(F.col("vertex").alias("dst")), "dst", "leftsemi")
+                rem_e.join(
+                    rem_v.select(F.col("vertex").alias("src")).hint("shuffle_hash"),
+                    "src", "leftsemi",
+                )
+                .join(
+                    rem_v.select(F.col("vertex").alias("dst")).hint("shuffle_hash"),
+                    "dst", "leftsemi",
+                )
                 .select("src", "dst")
                 .localCheckpoint(eager=True)
             )
-        if n_v == 0:
-            break
-
-        # ---- 2. coloring: forward min-id propagation to fixpoint ------
-        # This IS min-label propagation restricted to the edge direction:
-        # feeding cc_label_propagation the DIRECTED edge table makes its
-        # fixpoint label(v) = min({v} ∪ {u : u ⇝ v}) — exactly the
-        # coloring — and reuses the frontier semi-join, the join-free
-        # carrier-row update, and the Observation-based convergence
-        # (zero extra actions per step) for free.
-        from .cc import cc_label_propagation
-
-        rem_ids = rem_v.select(F.col("vertex").alias("id"))
-        colors, lp_runner = cc_label_propagation(
-            spark, rem_e, vertices=rem_ids, frontier=True,
-            max_iterations=max_iterations,
-        )
-        info["color_steps"] += lp_runner.num_iterations
-        steps += lp_runner.num_iterations
-        color = colors.select("vertex", F.col("label").alias("color")).localCheckpoint(
-            eager=True
-        )
-
-        # ---- 3. backward mark from the color roots --------------------
-        # A color root r is the MINIMUM of its class (color(v) = r means
-        # r ⇝ v, and v ⇝ v gives r ≤ v), so the backward sweep is min-
-        # label propagation again — over the REVERSED same-color edges:
-        # labelb(v) = min({v} ∪ {w : v ⇝ w inside the class}) equals
-        # color(v) exactly when v reaches its root inside the class,
-        # i.e. v ∈ SCC(root). One more LP call instead of a hand-rolled
-        # BFS: same frontier/Observation machinery, no per-step actions.
-        ec_rev = (
-            rem_e.join(
-                color.select(F.col("vertex").alias("src"), F.col("color").alias("_c1")),
-                "src",
-            )
-            .join(
-                color.select(F.col("vertex").alias("dst"), F.col("color").alias("_c2")),
-                "dst",
-            )
-            .filter(F.col("_c1") == F.col("_c2"))
-            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        labelsb, bw_runner = cc_label_propagation(
-            spark, ec_rev, vertices=rem_ids, frontier=True,
-            max_iterations=max_iterations,
-        )
-        info["mark_steps"] += bw_runner.num_iterations
-        steps += bw_runner.num_iterations
-        marked = (
-            labelsb.select("vertex", F.col("label").alias("_lb"))
-            .join(color, "vertex")
-            .filter(F.col("_lb") == F.col("color"))
-            .select("vertex")
-            .localCheckpoint(eager=True)
-        )
-
-        # ---- 4. extract + shrink --------------------------------------
-        done.append(
-            marked.join(color, "vertex").select("vertex", F.col("color").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        rem_v = rem_v.join(marked, "vertex", "leftanti").localCheckpoint(eager=True)
-        n_v = rem_v.count()
-        rem_e = (
-            rem_e.join(rem_v.select(F.col("vertex").alias("src")), "src", "leftsemi")
-            .join(rem_v.select(F.col("vertex").alias("dst")), "dst", "leftsemi")
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
-        )
+            rem_pinned = False
+    finally:
+        e_pin.unpersist()
 
     if not done:
         out = verts.select("vertex", F.col("vertex").alias("label"))

@@ -25,12 +25,51 @@ from __future__ import annotations
 
 import os
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.tables import TableLayer
+
+
+@contextmanager
+def fixpoint_conf(spark: SparkSession):
+    """Disable AQE for the duration of a fixpoint loop (round 6).
+
+    Every iteration here is a short, fully hinted query (shuffle_hash
+    joins, explicit repartition on the message key) whose shape is pinned
+    by tests/test_plan_shape.py — there is nothing left for AQE to decide,
+    but its per-stage re-optimization still costs serial driver work on
+    EVERY exchange of EVERY iteration. Measured (interleaved A/B, same
+    JVM, sf0.1): pagerank_1e6 10.1 → 8.0 s min-of-4, cc_labelprop and
+    lpa ~15-20% — and the cost class is per-iteration driver latency, the
+    same scale-killer as the round-4 shuffle-metrics poll, so the win
+    grows with iteration count, not with local core count. Verified at
+    18M edges too (OPTIMIZATION_r06.md).
+
+    AQE's in-loop value would be runtime skew-join splitting; the loops'
+    joins are degree-bounded or salted by construction (see each
+    operator's skew notes). Deployments that want it anyway set
+    SPARK_GRAFT_LOOP_AQE=1 — one-shot (non-loop) queries keep the
+    session's AQE either way. Nested loops (scc's LP calls inside its own
+    scope) see AQE already off and no-op, restoring correctly."""
+    if os.environ.get("SPARK_GRAFT_LOOP_AQE", "0") == "1":
+        yield
+        return
+    try:
+        old = spark.conf.get("spark.sql.adaptive.enabled")
+    except Exception:  # noqa: BLE001 — conf unreadable: leave it alone
+        old = None
+    if old != "true":
+        yield
+        return
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 @dataclass
@@ -302,40 +341,41 @@ class FixpointRunner:
         prev = None
         meter = ShuffleMeter() if self.record_shuffle_bytes else None
         shuffle0 = meter.totals(self.spark) if meter is not None else None
-        for it in range(start_iter, self.max_iterations):
-            t0 = time.perf_counter()
-            new_state = step_fn(state, it).localCheckpoint(eager=True)
-            changed, extra = converged_fn(new_state, it)
-            if prev is not None:
-                prev.unpersist()
-            prev, state = state, new_state
-            if shuffle0 is not None:
-                shuffle1 = meter.totals(self.spark)
-                if shuffle1 is not None:
-                    # Clamp: the meter's running totals are monotone even
-                    # under status-store eviction (finalized stages' bytes
-                    # are remembered Python-side), but the diagnostic must
-                    # never go negative regardless.
-                    extra = dict(
-                        extra,
-                        shuffle_read_bytes=max(0, shuffle1[0] - shuffle0[0]),
-                        shuffle_write_bytes=max(0, shuffle1[1] - shuffle0[1]),
+        with fixpoint_conf(self.spark):
+            for it in range(start_iter, self.max_iterations):
+                t0 = time.perf_counter()
+                new_state = step_fn(state, it).localCheckpoint(eager=True)
+                changed, extra = converged_fn(new_state, it)
+                if prev is not None:
+                    prev.unpersist()
+                prev, state = state, new_state
+                if shuffle0 is not None:
+                    shuffle1 = meter.totals(self.spark)
+                    if shuffle1 is not None:
+                        # Clamp: the meter's running totals are monotone even
+                        # under status-store eviction (finalized stages' bytes
+                        # are remembered Python-side), but the diagnostic must
+                        # never go negative regardless.
+                        extra = dict(
+                            extra,
+                            shuffle_read_bytes=max(0, shuffle1[0] - shuffle0[0]),
+                            shuffle_write_bytes=max(0, shuffle1[1] - shuffle0[1]),
+                        )
+                        shuffle0 = shuffle1
+                m = IterationMetrics(it, changed, time.perf_counter() - t0, extra=extra)
+                if self.tables is not None and (
+                    changed == 0 or (it + 1) % self.snapshot_every == 0
+                ):
+                    m.snapshot = self._save(state, it, m)
+                self.metrics.append(m)
+                if changed == 0:
+                    break
+            else:
+                if self.raise_on_cap:
+                    raise RuntimeError(
+                        f"{self.name}: no convergence in {self.max_iterations} iterations"
+                        " (cap analog: /root/reference/src/cc_openmp.c:82)"
                     )
-                    shuffle0 = shuffle1
-            m = IterationMetrics(it, changed, time.perf_counter() - t0, extra=extra)
-            if self.tables is not None and (
-                changed == 0 or (it + 1) % self.snapshot_every == 0
-            ):
-                m.snapshot = self._save(state, it, m)
-            self.metrics.append(m)
-            if changed == 0:
-                break
-        else:
-            if self.raise_on_cap:
-                raise RuntimeError(
-                    f"{self.name}: no convergence in {self.max_iterations} iterations"
-                    " (cap analog: /root/reference/src/cc_openmp.c:82)"
-                )
         return state
 
     @property
