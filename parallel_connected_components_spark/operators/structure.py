@@ -282,8 +282,14 @@ def ktruss(
         deg = degrees(symmetrize(e)).localCheckpoint(eager=True)
     n = e.count()
     rounds = 0
+    converged = False
+    # NOTE: unlike the message-passing fixpoints, this loop keeps AQE ON —
+    # the wedge join's fan-out is data-dependent and AQE's runtime
+    # partition sizing measurably beats the fixed-partition plan here
+    # (A/B on the bench graph: 4.3 vs 8.2 s, OPTIMIZATION_r06.md).
     for _ in range(max_rounds):
         if n == 0:
+            converged = True
             break
         sup = _supports(e, deg)
         kept = (
@@ -299,10 +305,13 @@ def ktruss(
             e.unpersist()
         e, owned, n = kept, True, n_kept
         if done:
+            converged = True
             break
-    if deg is not None and _deg is None:
-        deg.unpersist()  # ours, not the caller's
-    return e, {"k": k, "rounds": rounds, "edges": n}
+    # ``converged=False`` means the peel hit max_rounds mid-cascade and
+    # the returned edge set may be a SUPERSET of the true k-truss (the
+    # r5 advisor's silent-truncation finding) — surfaced, not raised, so
+    # the bounded-round behavior callers rely on is unchanged.
+    return e, {"k": k, "rounds": rounds, "edges": n, "converged": converged}
 
 
 def truss_decomposition(
@@ -315,13 +324,27 @@ def truss_decomposition(
     for which the edge survives the k-truss peel (2 for triangle-free
     edges, by convention).
 
-    Standard staged peel: the (k+1)-truss is a subgraph of the k-truss,
-    so each stage starts from the previous survivor set (never the full
-    graph). Stages run until the survivor set is empty or ``max_k`` —
-    info records per-stage rounds so the unrolled SQL twin can pin its
-    shape. ``orient_by_degree``: hub-skew-safe enumeration order,
-    identical truss numbers (degrees computed once on the input graph —
-    a valid total order on every survivor subset)."""
+    Staged peel, single-enumeration form (round 6): the (k+1)-truss is a
+    subgraph of the k-truss, so each stage starts from the previous
+    survivor set — and a stage's CONVERGED round leaves the survivor set
+    (hence its supports) unchanged, so the next stage's first filter is
+    applied to the same materialized (src, dst, support) table instead
+    of re-enumerating triangles. Each triangle enumeration is therefore
+    a round that actually drops edges (plus one final), cutting the
+    enumeration count by one per stage versus the per-stage-fixpoint
+    form (bench graph: 11 → 8 enumerations, identical truss integers —
+    differential-tested against truss_python_oracle).
+
+    info: ``stage_rounds`` counts threshold applications per stage (a
+    stage entered for free on a converged enumeration contributes its
+    count without a new enumeration), ``enumerations`` the triangle
+    passes, ``converged`` False iff some stage hit ``max_rounds``
+    mid-cascade (truss numbers may then be overstated — the r5 advisor's
+    silent-truncation finding, now surfaced). ``orient_by_degree``:
+    hub-skew-safe enumeration order, identical truss numbers (degrees
+    computed once on the input graph — a valid total order on every
+    survivor subset)."""
+    max_rounds = 64  # per-stage safety valve, matching ktruss's default
     canon = canonicalize(edges).localCheckpoint(eager=True)
     deg = (
         degrees(symmetrize(canon)).localCheckpoint(eager=True)
@@ -329,42 +352,76 @@ def truss_decomposition(
         else None
     )
     truss = canon.select("src", "dst", F.lit(2).alias("truss"))
+    truss_owned = False  # truss is a lazy view over canon until first update
     survivors = canon
+    backing: DataFrame | None = None  # checkpoint backing survivors (never canon)
+    n = canon.count()
     stage_rounds: dict[int, int] = {}
+    enumerations = 0
+    converged = True
     k = 3
-    while k <= max_k:
-        # _pinned: survivors is always canonical and checkpointed here, so
-        # ktruss must not re-copy it (three live 18M-edge snapshots was a
-        # measured executor OOM) nor unpersist it (we own the lifetime).
-        next_survivors, info = ktruss(
-            spark, survivors, k,
-            orient_by_degree=orient_by_degree, _pinned=True, _deg=deg,
-        )
-        if next_survivors is not survivors and survivors is not canon:
-            survivors.unpersist()  # superseded stage snapshot
-        survivors = next_survivors
-        stage_rounds[k] = info["rounds"]
-        if info["edges"] == 0:
-            break
-        # info["edges"] > 0 ⇒ the peel ran ≥1 round ⇒ survivors is a fresh
-        # checkpoint, never canon — the unpersists below rely on that.
-        upd = survivors.select("src", "dst", F.lit(k).alias("truss"))
-        next_truss = (
-            truss.join(upd.withColumnRenamed("truss", "_t"), ["src", "dst"], "left")
-            .select("src", "dst", F.coalesce("_t", F.col("truss")).alias("truss"))
+    # AQE stays ON here — see ktruss's note on the wedge join.
+    while n > 0 and k <= max_k:
+        # one triangle enumeration, materialized WITH its support
+        # column — every threshold below reads this cache; the
+        # shrunken survivor set is a lazy filter over it (no second
+        # checkpoint per dropping round)
+        sup = _supports(survivors, deg)
+        st = (
+            survivors.join(sup.hint("shuffle_hash"), ["src", "dst"], "left")
+            .select(
+                "src", "dst", F.coalesce("support", F.lit(0)).alias("support")
+            )
             .localCheckpoint(eager=True)
         )
-        if k == 3:
-            canon.unpersist()  # truss's base view of canon just materialized
-        else:
-            truss.unpersist()
-        truss = next_truss
-        k += 1
-    if survivors is not canon:
-        survivors.unpersist()  # not returned; truss snapshots are independent
+        enumerations += 1
+        if backing is not None:
+            backing.unpersist()
+        survivors, backing = st.select("src", "dst"), st
+        while True:
+            stage_rounds[k] = stage_rounds.get(k, 0) + 1
+            capped = stage_rounds[k] > max_rounds
+            if capped:
+                converged = False  # overstated truss possible past here
+            kept = st.filter(F.col("support") >= k - 2).select("src", "dst")
+            n_kept = kept.count()
+            if n_kept < n and not capped:
+                # drops at this k — re-enumerate over the shrunken set
+                # (kept stays a cache-backed filter view of st)
+                survivors, n = kept, n_kept
+                break
+            # fixpoint at k (or the safety valve fired, matching the
+            # old per-stage bounded behavior): every survivor has
+            # truss ≥ k; advance k over the SAME supports
+            upd = st.select("src", "dst", F.lit(k).alias("_t")).hint(
+                "shuffle_hash"
+            )
+            new_truss = (
+                truss.join(upd, ["src", "dst"], "left")
+                .select(
+                    "src", "dst",
+                    F.coalesce("_t", F.col("truss")).alias("truss"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if truss_owned:
+                truss.unpersist()
+            else:
+                canon.unpersist()  # truss's base view just materialized
+            truss, truss_owned = new_truss, True
+            k += 1
+            if k > max_k:
+                break
+    if backing is not None:
+        backing.unpersist()  # not returned; truss snapshots are independent
     if deg is not None:
         deg.unpersist()
-    return truss, {"stage_rounds": stage_rounds, "max_truss": k - 1}
+    return truss, {
+        "stage_rounds": stage_rounds,
+        "max_truss": k - 1,
+        "enumerations": enumerations,
+        "converged": converged,
+    }
 
 
 # ---------------------------------------------------------------------------
