@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..functions.hashing import portable_hash64_col
 from ..plans.runner import FixpointRunner
-from .graph import pin_edges, vertices_of
+from .graph import pin_dedup_edges, vertices_of
 
 
 def _reg_cols(k: int) -> list[str]:
@@ -87,13 +87,12 @@ def anf(
     adds isolated vertices, whose ball is just themselves."""
     regs = _reg_cols(num_registers)
     e_raw = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-    e = e_raw.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    e, n_part = pin_dedup_edges(spark, e_raw)
     verts = (
         (vertices.select("id") if vertices is not None else vertices_of(e_raw))
         .select(F.col("id").cast("long").alias("vertex"))
         .localCheckpoint(eager=True)
     )
-    e, n_part = pin_edges(spark, e)
     init = verts.select(
         "vertex", *[_init_mask(F.col("vertex"), i).alias(m) for i, m in enumerate(regs)]
     )
@@ -221,13 +220,12 @@ def harmonic_centrality(
     regs = _reg_cols(num_registers)
     big_l = lcm(*range(1, rounds + 1)) if rounds >= 1 else 1
     e_raw = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-    e = e_raw.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    e, n_part = pin_dedup_edges(spark, e_raw)
     verts = (
         (vertices.select("id") if vertices is not None else vertices_of(e_raw))
         .select(F.col("id").cast("long").alias("vertex"))
         .localCheckpoint(eager=True)
     )
-    e, n_part = pin_edges(spark, e)
 
     def est_of(cols) -> "F.Column":
         total = None

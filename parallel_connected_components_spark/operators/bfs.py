@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..plans.runner import FixpointRunner
-from .graph import pin_edges
+from .graph import pin_dedup_edges
 
 
 def bfs_hops(
@@ -48,12 +48,9 @@ def bfs_hops(
     are absent — join against a vertex universe downstream if a dense
     output is needed. ``max_hops`` caps the expansion (k-hop
     neighborhood); None runs to exhaustion."""
-    e = (
-        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-        .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
+    e, n_part = pin_dedup_edges(
+        spark, edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     )
-    e, n_part = pin_edges(spark, e)
     init = sources.select(
         F.col("id").cast("long").alias("vertex"),
         F.lit(0).cast("long").alias("dist"),

@@ -46,7 +46,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..plans.runner import FixpointRunner, IterationMetrics
-from .graph import canonicalize, contract_edges, pin_edges, vertices_of
+from .graph import canonicalize, contract_edges, pin_edges
 
 
 # --------------------------------------------------------------------------
@@ -706,9 +706,27 @@ def cc_label_propagation(
     (≤2 shortcut edges per dropped endpoint), a large win exactly where
     it matters: dense resolved clusters.
     """
-    verts = (
-        vertices.select(F.col("id")) if vertices is not None else vertices_of(edges_sym)
-    ).localCheckpoint(eager=True)
+    # edges partitioned on src once; per-iteration shuffle moves only the
+    # (shrinking) frontier labels — see pagerank() for the plan-shape
+    # rationale (ghost-exchange + post-exchange aggregation).
+    # ``assume_pinned=True``: the caller guarantees edges_sym is already
+    # symmetrized, deduped, src-partitioned, and persisted (a pinned
+    # repartition or a bucketed table scan, sources/bucketed.py) — the
+    # pin exchange is skipped and the table is NOT unpersisted on return.
+    if assume_pinned:
+        e0, n_part = edges_sym, edges_sym.rdd.getNumPartitions()
+    else:
+        e0, n_part = pin_edges(spark, edges_sym)  # (already materialized)
+    if vertices is not None:
+        verts = vertices.select(F.col("id")).localCheckpoint(eager=True)
+    else:
+        # the input is symmetrized, so every vertex appears on the src
+        # side — and the pinned table is hash(src)-partitioned, so this
+        # distinct needs NO exchange (vs the union-both-endpoints +
+        # distinct full shuffle of vertices_of; round 6)
+        verts = (
+            e0.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+        )
     init = verts.select(
         F.col("id").alias("vertex"),
         F.col("id").alias("label"),
@@ -723,17 +741,6 @@ def cc_label_propagation(
     )
     runner.stalled = False
     changed_history: list[int] = []
-    # edges partitioned on src once; per-iteration shuffle moves only the
-    # (shrinking) frontier labels — see pagerank() for the plan-shape
-    # rationale (ghost-exchange + post-exchange aggregation).
-    # ``assume_pinned=True``: the caller guarantees edges_sym is already
-    # symmetrized, deduped, src-partitioned, and persisted (a pinned
-    # repartition or a bucketed table scan, sources/bucketed.py) — the
-    # pin exchange is skipped and the table is NOT unpersisted on return.
-    if assume_pinned:
-        e0, n_part = edges_sym, edges_sym.rdd.getNumPartitions()
-    else:
-        e0, n_part = pin_edges(spark, edges_sym)  # (already materialized)
     live_edges = {"df": e0, "count": e0.count(), "prune_on": bool(prune_every)}
     # Frontier invariant: every live edge must have carried its source's
     # CURRENT label at least once. Edges added by a prune rewrite violate

@@ -144,6 +144,35 @@ def pin_edges(
     return e, n_part
 
 
+def pin_dedup_edges(
+    spark, edges: DataFrame, key: str = "src", drop_self_loops: bool = True
+) -> tuple[DataFrame, int]:
+    """Fused self-loop filter + (src, dst) dedup + pin in ONE exchange
+    (round 6): hash(key) partitioning satisfies the (src, dst) dedup's
+    clustering requirement (equal-key rows are co-located), so the dedup
+    aggregation runs inside the pin's exchange instead of adding its own
+    — the raw edge table crosses the network once, not twice. Output is
+    exactly ``pin_edges(filter + dropDuplicates)``: deduped, sorted
+    within partitions, persisted; → (pinned, n_part), caller owns the
+    unpersist. Trade-off vs dedup-first: duplicate rows of one hot key
+    are no longer map-side combined before the exchange — a win whenever
+    duplicates are rare (every graph here), and the per-key fan-in is
+    the same deg(hub) the src-pinned layout carries anyway."""
+    n_part = spark.sparkContext.defaultParallelism
+    e = edges.select("src", "dst")
+    if drop_self_loops:
+        e = e.filter(F.col("src") != F.col("dst"))
+    other = "dst" if key == "src" else "src"
+    e = (
+        e.repartition(n_part, key)
+        .dropDuplicates(["src", "dst"])
+        .sortWithinPartitions(key, other)
+        .persist()
+    )
+    e.count()
+    return e, n_part
+
+
 def degrees(edges_sym: DataFrame) -> DataFrame:
     """Per-vertex degree over a symmetrized deduped edge table
     (graph.c:222-253's per-vertex scan as one partial+final agg)."""

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .graph import pin_edges, vertices_of
+from .graph import pin_dedup_edges, vertices_of
 from .pagerank import _ordered_fold
 
 
@@ -46,7 +46,7 @@ def hits_fixed(
     ``n_iterations`` rounds. ``vertices`` (optional superset of the edge
     endpoints) adds isolated vertices with authority = hub = 0."""
     e_raw = edges.select("src", "dst")
-    e = e_raw.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    e, n_part = pin_dedup_edges(spark, e_raw)
     verts = (
         # default vertex set from the RAW endpoints: a self-loop-only
         # vertex stays in the output (scores 0 — its loop is dropped)
@@ -54,7 +54,6 @@ def hits_fixed(
         .select(F.col("id").alias("vertex"))
         .localCheckpoint(eager=True)
     )
-    e, n_part = pin_edges(spark, e)
 
     def _gather(scores: DataFrame, score_col: str, edge_from: str, edge_to: str, out: str):
         """Fold `score_col` from each `edge_from` endpoint onto its

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 
 from ..plans.runner import FixpointRunner
-from .graph import pin_edges, vertices_of
+from .graph import pin_dedup_edges, vertices_of
 
 
 def coreness(
@@ -59,13 +59,12 @@ def coreness(
     edges deduped; ``vertices`` (optional superset of endpoints) adds
     isolated vertices with core 0."""
     e_raw = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-    e = e_raw.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    e, n_part = pin_dedup_edges(spark, e_raw)
     verts = (
         (vertices.select("id") if vertices is not None else vertices_of(e_raw))
         .select(F.col("id").cast("long").alias("vertex"))
         .localCheckpoint(eager=True)
     )
-    e, n_part = pin_edges(spark, e)
 
     init = (
         verts.join(

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..plans.runner import FixpointRunner
-from .graph import pin_edges, vertices_of
+from .graph import pin_edges
 
 
 def label_propagation_communities(
@@ -34,9 +34,17 @@ def label_propagation_communities(
     checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, FixpointRunner]:
     """→ (labels(vertex, label), runner). ``edges_sym`` symmetrized."""
-    verts = (
-        vertices.select("id") if vertices is not None else vertices_of(edges_sym)
-    ).localCheckpoint(eager=True)
+    # see pagerank() for the plan-shape rationale (src-partitioned edges,
+    # post-exchange aggregation)
+    e, n_part = pin_edges(spark, edges_sym)
+    if vertices is not None:
+        verts = vertices.select("id").localCheckpoint(eager=True)
+    else:
+        # symmetrized input: every vertex appears as src, and the pinned
+        # table is hash(src)-partitioned — exchange-free distinct
+        verts = (
+            e.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+        )
     init = verts.select(F.col("id").alias("vertex"), F.col("id").alias("label"))
     # LPA may oscillate on bipartite structures; hitting the cap returns
     # the last state rather than raising (the reference's bounded loops:
@@ -45,9 +53,6 @@ def label_propagation_communities(
         spark, "lpa", checkpoint_dir=checkpoint_dir, max_iterations=max_iterations,
         raise_on_cap=False,
     )
-    # see pagerank() for the plan-shape rationale (src-partitioned edges,
-    # post-exchange aggregation)
-    e, n_part = pin_edges(spark, edges_sym)
     obs_holder: dict[int, Observation] = {}
 
     def step(state: DataFrame, it: int) -> DataFrame:

@@ -28,7 +28,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..plans.runner import FixpointRunner
-from .graph import pin_edges, vertices_of
+from .graph import pin_dedup_edges, pin_edges, vertices_of
 
 
 def pagerank(
@@ -94,21 +94,38 @@ def pagerank(
         e = edges
         n_part = e.rdd.getNumPartitions()
     else:
-        e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
-    verts = (
-        vertices.select("id") if vertices is not None else vertices_of(e)
+        # fused dedup+pin: one exchange instead of two (pin_dedup_edges)
+        e, n_part = pin_dedup_edges(spark, edges, drop_self_loops=False)
+    # vertex table with outdeg (0 for dangling), reused every iteration.
+    # Round 6: built in ONE aggregation (outdeg = count of src-side rows)
+    # instead of distinct-endpoints + count + outdeg join — |V| and the
+    # dangling-vertex count ride the materialization as an Observation,
+    # so setup costs one job, not four.
+    if vertices is not None:
+        outdeg = e.groupBy(F.col("src").alias("vertex")).agg(
+            F.count("*").alias("outdeg")
+        )
+        vo_plan = (
+            vertices.select(F.col("id").alias("vertex"))
+            .join(outdeg, "vertex", "left")
+            .select("vertex", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        )
+    else:
+        vo_plan = (
+            e.select(F.col("src").alias("vertex"), F.lit(1).alias("o"))
+            .union(e.select(F.col("dst").alias("vertex"), F.lit(0).alias("o")))
+            .groupBy("vertex")
+            .agg(F.sum("o").alias("outdeg"))
+        )
+    vo_obs = Observation()
+    vo = vo_plan.observe(
+        vo_obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("outdeg") == 0).cast("long")).alias("nd"),
     ).localCheckpoint(eager=True)
-    n = verts.count()
-    if not assume_pinned:
-        e, n_part = pin_edges(spark, e)
-    outdeg = e.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("outdeg"))
-    # vertex table with outdeg (0 for dangling), reused every iteration
-    vo = (
-        verts.select(F.col("id").alias("vertex"))
-        .join(outdeg, "vertex", "left")
-        .select("vertex", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
-        .localCheckpoint(eager=True)
-    )
+    got_vo = vo_obs.get
+    n = got_vo["n"]
+    n_dangling = got_vo["nd"] or 0
 
     if init_ranks is not None:
         pr = init_ranks.select("vertex", F.col("rank").alias("_r0"))
@@ -132,16 +149,24 @@ def pagerank(
     # dangling mass for the *next* step is computed inside the same
     # aggregate as the convergence delta (one job per iteration instead
     # of two scalar actions); seeded from the state we actually start at
-    # (the latest durable snapshot when resuming).
+    # (the latest durable snapshot when resuming). The cold-start value
+    # is n_dangling/n (every dangling vertex holds exactly 1/n) — no job;
+    # warm starts and resumes aggregate their actual seed state.
     seed_state = init
+    resumed = False
     if resume:
         got = runner.latest()
         if got is not None:
             seed_state = got[0]
-    dangling_holder = {
-        "v": seed_state.filter(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0]
-        or 0.0
-    }
+            resumed = True
+    if init_ranks is None and not resumed:
+        dangling0 = n_dangling * (1.0 / n)
+    else:
+        dangling0 = (
+            seed_state.filter(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+    dangling_holder = {"v": dangling0}
 
     # convergence delta + next-iteration dangling mass ride along the
     # state materialization via Observation — zero extra jobs per

@@ -57,7 +57,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..plans.runner import fixpoint_conf
-from .graph import vertices_of
+from .graph import pin_dedup_edges, vertices_of
 
 
 def scc(
@@ -105,19 +105,10 @@ def _scc_impl(
 ) -> tuple[DataFrame, dict]:
     from .cc import cc_label_propagation
 
-    n_part = spark.sparkContext.defaultParallelism
     e_raw = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-    # one exchange total: hash(src) partitioning satisfies the (src, dst)
-    # dedup's clustering requirement AND is the LP pin layout (the sort
-    # is pin_edges' cache-compression trick)
-    e_pin = (
-        e_raw.filter(F.col("src") != F.col("dst"))
-        .repartition(n_part, "src")
-        .dropDuplicates(["src", "dst"])
-        .sortWithinPartitions("src", "dst")
-        .persist()
-    )
-    e_pin.count()
+    # fused self-loop filter + dedup + pin: one exchange total, and the
+    # result IS the round-1 coloring LP's pinned layout
+    e_pin, _n_part = pin_dedup_edges(spark, e_raw)
     verts = (
         (vertices.select("id") if vertices is not None else vertices_of(e_raw))
         .select(F.col("id").cast("long").alias("vertex"))

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.hashing import portable_hash64_col
-from .graph import pin_edges
+from .graph import pin_dedup_edges
 
 
 def random_walks(
@@ -48,12 +48,9 @@ def random_walks(
     seed id (walk_id = the seed), following edges src → dst for up to
     ``walk_len`` steps with the deterministic hash-arg-min transition.
     Pass the symmetrized table for undirected walks."""
-    e = (
-        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-        .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
+    e, n_part = pin_dedup_edges(
+        spark, edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     )
-    e, n_part = pin_edges(spark, e)
     pos = (
         seeds.select(F.col("id").cast("long").alias("walk_id"))
         .dropDuplicates(["walk_id"])
