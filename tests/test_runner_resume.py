@@ -64,9 +64,14 @@ def test_shuffle_bytes_recorded_per_iteration(spark):
     runner = FixpointRunner(spark, "shuf")
     runner.run(init, step, converged)
     assert runner.num_iterations == 3
-    for m in runner.metrics:
-        assert "shuffle_read_bytes" in m.extra and "shuffle_write_bytes" in m.extra
-        assert m.extra["shuffle_write_bytes"] > 0
+    # Round 6: the meter is polled every few iterations plus at
+    # convergence (per-iteration polling was a measured ~30 ms/iteration
+    # py4j tax on loops whose whole iteration is ~0.4 s), so individual
+    # entries may lack the keys — but the convergence entry always polls
+    # and the cumulative sum over the run stays exact and nonzero.
+    assert "shuffle_read_bytes" in runner.metrics[-1].extra
+    assert "shuffle_write_bytes" in runner.metrics[-1].extra
+    assert sum(m.extra.get("shuffle_write_bytes", 0) for m in runner.metrics) > 0
 
 
 def test_resume_from_snapshot(spark, tmp_path):
