@@ -100,23 +100,36 @@ def anf(
     obs_holder: dict[int, Observation] = {}
 
     def step(state: DataFrame, it: int) -> DataFrame:
+        # Join-back update (round 6, same rationale as
+        # cc_label_propagation): neighbor registers are bit_or-folded
+        # over the messages alone, then OR-merged with the own registers
+        # in an exchange-free join-back — the checkpointed state keeps
+        # its hash(vertex) partitioning with AQE off in the loop, so the
+        # 8·num_registers-byte own rows stop riding the shuffle.
         msgs = e.join(
             state.select(F.col("vertex").alias("src"), *regs).hint("shuffle_hash"),
             "src",
-        ).select(F.col("dst").alias("vertex"), *regs, F.lit(False).alias("is_self"))
-        own = state.select("vertex", *regs, F.lit(True).alias("is_self"))
+        ).select(F.col("dst").alias("vertex"), *regs)
         obs = Observation()
         obs_holder[it] = obs
-        merged = (
-            msgs.union(own)
-            .repartition(n_part, "vertex")
+        gathered = (
+            msgs.repartition(n_part, "vertex")
             .groupBy("vertex")
-            .agg(
-                *[F.bit_or(m).alias(m) for m in regs],
+            .agg(*[F.bit_or(m).alias(f"_n{m}") for m in regs])
+            .hint("shuffle_hash")
+        )
+        merged = (
+            state.select("vertex", *[F.col(m).alias(f"_o{m}") for m in regs])
+            .join(gathered, "vertex", "left")
+            .select(
+                "vertex",
                 *[
-                    F.max(F.when(F.col("is_self"), F.col(m))).alias(f"_o{m}")
+                    F.col(f"_o{m}")
+                    .bitwiseOR(F.coalesce(F.col(f"_n{m}"), F.lit(0)))
+                    .alias(m)
                     for m in regs
                 ],
+                *[F.col(f"_o{m}") for m in regs],
             )
         )
         changed = None

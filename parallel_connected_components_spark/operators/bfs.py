@@ -60,6 +60,15 @@ def bfs_hops(
     obs_holder: dict[int, Observation] = {}
 
     def step(state: DataFrame, it: int) -> DataFrame:
+        # Join-back update (round 6, same rationale as cc_label_propagation):
+        # with AQE off in the loop the checkpointed state keeps its
+        # hash(vertex) partitioning, so the full-outer join-back against
+        # the aggregated frontier needs no exchange on either side and
+        # only the frontier's messages shuffle — the union-carrier form
+        # re-shuffled every settled (vertex, dist) row each round. A
+        # vertex is newly reached exactly when it has no state row
+        # (settled distances never improve: messages carry it+1, every
+        # settled dist is ≤ it).
         msgs = (
             e.join(
                 state.filter("frontier")
@@ -69,14 +78,22 @@ def bfs_hops(
             )
             .select(F.col("dst").alias("vertex"), F.lit(it + 1).cast("long").alias("dist"))
         )
+        arrivals = (
+            msgs.repartition(n_part, "vertex")
+            .groupBy("vertex")
+            .agg(F.min("dist").alias("_m"))
+            .hint("shuffle_hash")
+        )
         obs = Observation()
         obs_holder[it] = obs
         return (
-            msgs.union(state.select("vertex", "dist"))
-            .repartition(n_part, "vertex")
-            .groupBy("vertex")
-            .agg(F.min("dist").alias("dist"))
-            .select("vertex", "dist", (F.col("dist") == it + 1).alias("frontier"))
+            state.select("vertex", F.col("dist").alias("_old"))
+            .join(arrivals, "vertex", "full")
+            .select(
+                "vertex",
+                F.coalesce("_old", "_m").alias("dist"),
+                F.col("_old").isNull().alias("frontier"),
+            )
             .observe(obs, F.sum(F.col("frontier").cast("long")).alias("reached"))
         )
 

@@ -752,16 +752,22 @@ def cc_label_propagation(
     obs_holder: dict[int, Observation] = {}
 
     def step(state: DataFrame, it: int) -> DataFrame:
-        # join-free state update: the old state rides the message shuffle
-        # as tagged self-retention rows, and ONE aggregation folds
-        # min(incoming ∪ own) + the changed flag. The previous
-        # join-back-to-state formulation cost an extra exchange + join
-        # per iteration — and under AQE the join flipped to
-        # BroadcastHashJoin once the candidate set shrank (a serial
-        # driver-side hashed-relation build inside the loop, the exact
-        # anti-pattern PLANS.md §7 documents); localCheckpoint under AQE
-        # reports UnknownPartitioning, so co-partitioning could not save
-        # it. Measured: -20% wall at sf0.1, 2 fewer stages/iteration.
+        # Join-back state update (round 6). History: round 3 replaced the
+        # join-back with a union-carrier (state rows riding the message
+        # shuffle) because under AQE the join-back cost an extra exchange
+        # and flipped to an in-loop driver broadcast. Both problems died
+        # with the round-6 fixpoint_conf: AQE is off in the loop, so (a)
+        # the shuffle_hash hint is planned as hinted, and (b) a
+        # localCheckpoint PRESERVES its output partitioning — the state
+        # is hash(vertex)-partitioned from birth (init derives from the
+        # pinned table's src side), the aggregation output matches it,
+        # and the join-back needs NO exchange on either side. Net plan:
+        # ONE exchange per iteration (the message repartition) moving
+        # only frontier-emitted labels, where the union-carrier
+        # re-shuffled all |V| state rows every round as well. Wall time
+        # is within noise of the carrier at sf0.1-sf1 (the state rows
+        # are narrow), but per-iteration shuffle bytes drop by the state
+        # table's size — the term that dominates on a real network.
         senders = state.filter("changed") if frontier else state
         senders = senders.select("vertex", "label")
         if frontier and pending_senders["df"] is not None:
@@ -771,24 +777,24 @@ def cc_label_propagation(
             senders = senders.union(extra).dropDuplicates(["vertex"])
             pending_senders["df"] = None
         senders = senders.select(F.col("vertex").alias("src"), "label").hint("shuffle_hash")
-        msgs = (
+        mins = (
             live_edges["df"]
             .join(senders, "src")
-            .select(F.col("dst").alias("vertex"), "label", F.lit(False).alias("is_self"))
+            .select(F.col("dst").alias("vertex"), "label")
+            .repartition(n_part, "vertex")
+            .groupBy("vertex")
+            .agg(F.min("label").alias("_m"))
+            .hint("shuffle_hash")
         )
-        own = state.select("vertex", "label", F.lit(True).alias("is_self"))
         obs = Observation()
         obs_holder[it] = obs
         return (
-            msgs.union(own)
-            .repartition(n_part, "vertex")
-            .groupBy("vertex")
-            .agg(
-                F.min("label").alias("label"),
-                F.max(F.when(F.col("is_self"), F.col("label"))).alias("_old"),
-            )
+            state.select("vertex", F.col("label").alias("_old"))
+            .join(mins, "vertex", "left")
             .select(
-                "vertex", "label", (F.col("label") < F.col("_old")).alias("changed")
+                "vertex",
+                F.least(F.col("_old"), F.coalesce("_m", F.col("_old"))).alias("label"),
+                (F.coalesce("_m", F.col("_old")) < F.col("_old")).alias("changed"),
             )
             .observe(obs, F.sum(F.col("changed").cast("long")).alias("changed"))
         )

@@ -77,20 +77,21 @@ def coreness(
     obs_holder: dict[int, Observation] = {}
 
     def step(state: DataFrame, it: int) -> DataFrame:
-        # carrier-row update (PLANS.md §7): old core rides the message
-        # shuffle as tagged self rows; the H-index comes from a window
-        # rank over the gathered values — rank neighbors desc within
-        # each vertex, H = max rank whose value still >= rank — followed
-        # by ONE agg that also folds the changed flag. Measured 2.4x
-        # over the collect_list + sort_array + HOF-fold formulation
-        # (10.8 -> 4.4 s/round at 18M edges, local[32], interleaved
-        # A/B, identical integers): the window sorts rows in place
-        # inside the exchange's partitions instead of materializing a
-        # per-vertex array per row group. The self row's _nc is NULL
-        # and desc ordering puts NULLs last, so neighbor ranks are
-        # exactly 1..deg. A vertex with no incoming rows keeps core
-        # (0-degree => H=0 from init — least(old, H) also guards
-        # monotonicity).
+        # The H-index comes from a window rank over the gathered
+        # neighbor values — rank desc within each vertex, H = max rank
+        # whose value still >= rank. Measured 2.4x over the collect_list
+        # + sort_array + HOF-fold formulation (10.8 -> 4.4 s/round at
+        # 18M edges, local[32], interleaved A/B, identical integers):
+        # the window sorts rows in place inside the exchange's
+        # partitions instead of materializing a per-vertex array per row
+        # group. A vertex with no incoming rows keeps core (0-degree =>
+        # H=0 from init — least(old, H) also guards monotonicity).
+        # Join-back update (round 6, same rationale as cc_label_propagation):
+        # the H-index window + aggregation run over the gathered NEIGHBOR
+        # values only (no null-tagged self rows to rank around), and the
+        # old core joins back exchange-free — the checkpointed state keeps
+        # its hash(vertex) partitioning with AQE off in the loop, so only
+        # the messages shuffle.
         msgs = (
             e.join(
                 state.select(F.col("vertex").alias("src"), "core").hint(
@@ -98,37 +99,30 @@ def coreness(
                 ),
                 "src",
             )
-            .select(F.col("dst").alias("vertex"), "core", F.lit(False).alias("is_self"))
+            .select(F.col("dst").alias("vertex"), F.col("core").alias("_nc"))
         )
-        own = state.select("vertex", "core", F.lit(True).alias("is_self"))
         obs = Observation()
         obs_holder[it] = obs
         w = Window.partitionBy("vertex").orderBy(F.desc("_nc"))
-        return (
-            msgs.union(own)
-            .repartition(n_part, "vertex")
-            .select(
-                "vertex",
-                F.when(~F.col("is_self"), F.col("core")).alias("_nc"),
-                F.when(F.col("is_self"), F.col("core")).alias("_own"),
-            )
+        h = (
+            msgs.repartition(n_part, "vertex")
             .withColumn("rn", F.row_number().over(w))
             .groupBy("vertex")
             .agg(
                 F.max(F.when(F.col("_nc") >= F.col("rn"), F.col("rn")))
                 .cast("long")
-                .alias("_h"),
-                F.max("_own").alias("_old"),
+                .alias("_h")
             )
+            .hint("shuffle_hash")
+        )
+        new_core = F.least(F.coalesce("_h", F.lit(0).cast("long")), F.col("_old"))
+        return (
+            state.select("vertex", F.col("core").alias("_old"))
+            .join(h, "vertex", "left")
             .select(
                 "vertex",
-                F.least(F.coalesce("_h", F.lit(0).cast("long")), F.col("_old")).alias(
-                    "core"
-                ),
-                (
-                    F.least(F.coalesce("_h", F.lit(0).cast("long")), F.col("_old"))
-                    < F.col("_old")
-                ).alias("changed"),
+                new_core.alias("core"),
+                (new_core < F.col("_old")).alias("changed"),
             )
             .observe(obs, F.sum(F.col("changed").cast("long")).alias("changed"))
         )
