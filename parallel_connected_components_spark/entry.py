@@ -1194,6 +1194,14 @@ def build_queries():
 
     def _truss(spark, sf):
         out, _info = truss_decomposition(spark, raw_tri_edges(spark, sf))
+        # envelope guard (r5 advisor): the DuckDB twin unrolls TRUSS_STAGES
+        # rounds per stage up to k=5 — a deeper peel or higher truss at
+        # some future scale factor must fail LOUDLY here, not let the two
+        # engines truncate differently and diverge silently
+        assert _info["converged"] and _info["max_truss"] <= max(TRUSS_STAGES), _info
+        assert all(
+            _info["stage_rounds"].get(k, 0) <= n for k, n in TRUSS_STAGES.items()
+        ), _info
         return out
 
     q("truss_decomp", _truss, _truss_sql(TRUSS_STAGES))
@@ -1201,8 +1209,12 @@ def build_queries():
     LP_TOPK, LP_MAXDEG = 50, 6
 
     def _linkpred(spark, sf):
+        # exact_fold: the bit-exact ordered RA fold the DuckDB twin
+        # reproduces; the library default is the associative scale-mode
+        # sum (round 6 — the r5 verdict's fold-default flip)
         return link_prediction_topk(
-            spark, raw_edges(spark, sf), k=LP_TOPK, max_degree=LP_MAXDEG
+            spark, raw_edges(spark, sf), k=LP_TOPK, max_degree=LP_MAXDEG,
+            exact_fold=True,
         )
 
     q("linkpred_top50", _linkpred, _linkpred_sql(LP_TOPK, LP_MAXDEG))

@@ -42,21 +42,26 @@ def link_prediction_topk(
     edges: DataFrame,
     k: int = 50,
     max_degree: int | None = None,
-    exact_fold: bool = True,
+    exact_fold: bool = False,
 ) -> DataFrame:
     """→ top-k (src, dst, common_neighbors, jaccard, resource_alloc)
     over non-adjacent pairs src < dst, ordered by (common_neighbors
     desc, src, dst). ``max_degree`` drops wedge middles above the cap
-    (hub fan-out guard; None = uncapped).
+    (hub fan-out guard; None = uncapped). Note the cap also excludes
+    capped middles from ``common_neighbors`` and the jaccard numerator
+    while the denominator keeps full degrees — capped jaccard is a
+    lower bound on the true coefficient, not the coefficient itself
+    (tests encode this semantics).
 
     ``exact_fold`` picks the resource-allocation accumulation:
-    True (default, the verification mode) folds Σ 1/deg(w) in ascending
-    middle-id order via collect_list — bit-reproducible by any engine,
-    but the per-pair struct lists are real aggregation-state memory at
-    crawl scale. False (the scale mode) uses a plain associative
-    F.sum — constant aggregation state with map-side partial combine;
-    identical operands, so the result differs from the exact fold by at
-    most summation-order ulps."""
+    False (default — the scale mode, round 6 per the r5 verdict) uses a
+    plain associative F.sum — constant aggregation state with map-side
+    partial combine. True (the verification mode, what the oracle-gated
+    entry query passes) folds Σ 1/deg(w) in ascending middle-id order
+    via collect_list — bit-reproducible by any engine, but the per-pair
+    struct lists are real aggregation-state memory at crawl scale.
+    Identical operands either way, so the two differ by at most
+    summation-order ulps."""
     sym = symmetrize(edges)
     canon = canonicalize(edges)
     deg = degrees(sym)

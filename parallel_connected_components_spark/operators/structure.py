@@ -102,7 +102,9 @@ def transitivity(
     )
 
 
-def degree_assortativity(spark: SparkSession, edges: DataFrame) -> DataFrame:
+def degree_assortativity(
+    spark: SparkSession, edges: DataFrame, exact_ints: bool = True
+) -> DataFrame:
     """→ 1 row (num_edges, sum_jk, sum_jpk, sum_j2k2, assortativity):
     Newman's degree assortativity (Pearson correlation of endpoint
     degrees over the undirected edge list).
@@ -112,13 +114,16 @@ def degree_assortativity(spark: SparkSession, edges: DataFrame) -> DataFrame:
 
         r = (4M·Σjk − (Σ(j+k))²) / (2M·Σ(j²+k²) − (Σ(j+k))²)
 
-    — every term an exact int64 aggregate at test scale, then ONE
-    division (cast to double) that any IEEE754 engine reproduces
-    bit-identically. At 10^12-edge scale the intermediate squares
-    overflow int64: the production variant computes the same closed form
-    over double-cast sums (exactness of the gate matters at verification
-    scale; the estimator itself is scale-free). NULL assortativity when
-    the graph is degree-regular (denominator 0)."""
+    ``exact_ints=True`` (default — the oracle-verified gate mode) forms
+    num/den in int64: every term exact, ONE division (cast to double)
+    that any IEEE754 engine reproduces bit-identically. The squares
+    overflow int64 once Σ(j+k) exceeds ~3·10^9 (well under crawl scale,
+    and Spark's non-ANSI arithmetic would wrap silently), so
+    ``exact_ints=False`` — the production mode for big graphs (r5
+    advisor fix) — computes the same closed form over double-cast sums:
+    ≤2^-53 relative error per term, no overflow at any scale. The four
+    emitted sums are raw int64 aggregates (exact) in both modes. NULL
+    assortativity when the graph is degree-regular (denominator 0)."""
     canon = canonicalize(edges)
     deg = degrees(symmetrize(edges))
     e = canon.join(
@@ -131,17 +136,25 @@ def degree_assortativity(spark: SparkSession, edges: DataFrame) -> DataFrame:
         F.sum(j + k).alias("sum_jpk"),
         F.sum(j * j + k * k).alias("sum_j2k2"),
     )
-    m = F.col("num_edges")
-    num = F.lit(4) * m * F.col("sum_jk") - F.col("sum_jpk") * F.col("sum_jpk")
-    den = F.lit(2) * m * F.col("sum_j2k2") - F.col("sum_jpk") * F.col("sum_jpk")
+    if exact_ints:
+        m = F.col("num_edges")
+        num = F.lit(4) * m * F.col("sum_jk") - F.col("sum_jpk") * F.col("sum_jpk")
+        den = F.lit(2) * m * F.col("sum_j2k2") - F.col("sum_jpk") * F.col("sum_jpk")
+        r = F.when(den != 0, num.cast("double") / den.cast("double"))
+    else:
+        m = F.col("num_edges").cast("double")
+        jk = F.col("sum_jk").cast("double")
+        jpk = F.col("sum_jpk").cast("double")
+        j2k2 = F.col("sum_j2k2").cast("double")
+        num = F.lit(4.0) * m * jk - jpk * jpk
+        den = F.lit(2.0) * m * j2k2 - jpk * jpk
+        r = F.when(den != 0.0, num / den)
     return sums.select(
         "num_edges",
         "sum_jk",
         "sum_jpk",
         "sum_j2k2",
-        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
-            "assortativity"
-        ),
+        r.alias("assortativity"),
     )
 
 

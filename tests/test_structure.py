@@ -144,6 +144,27 @@ def test_assortativity_regular_graph_is_null(spark):
     assert degree_assortativity(spark, df).collect()[0].assortativity is None
 
 
+def test_assortativity_double_mode_matches_exact(spark):
+    # exact_ints=False (the no-overflow production mode, r5 advisor fix)
+    # must agree with the int64 gate mode wherever the latter is valid,
+    # and must also report NULL on the degree-regular denominator-0 case
+    edge_list = _rand_edges(53)
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    a = degree_assortativity(spark, df, exact_ints=True).collect()[0]
+    b = degree_assortativity(spark, df, exact_ints=False).collect()[0]
+    assert (a.num_edges, a.sum_jk, a.sum_jpk, a.sum_j2k2) == (
+        b.num_edges, b.sum_jk, b.sum_jpk, b.sum_j2k2,
+    )
+    assert b.assortativity == pytest.approx(a.assortativity, rel=1e-12)
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    assert (
+        degree_assortativity(spark, ring, exact_ints=False).collect()[0].assortativity
+        is None
+    )
+
+
 def test_reciprocity_known(spark):
     edges = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2), (0, 0), (1, 2)]
     df = spark.createDataFrame(edges, "src long, dst long")
@@ -188,6 +209,21 @@ def test_link_prediction_differential(spark, max_degree):
         assert r.common_neighbors == cn
         assert r.jaccard == pytest.approx(jac, rel=1e-15)
         assert r.resource_alloc == pytest.approx(ra, rel=1e-12)
+
+
+def test_link_prediction_fold_modes_agree(spark):
+    # round 6 flipped the library default to the associative scale-mode
+    # sum; the bit-exact ordered fold (what the entry oracle passes)
+    # must agree to summation-order ulps on identical operands
+    edge_list = _rand_edges(62)
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    assoc = {(r.src, r.dst): r.resource_alloc
+             for r in link_prediction_topk(spark, df, k=1000).collect()}
+    exact = {(r.src, r.dst): r.resource_alloc
+             for r in link_prediction_topk(spark, df, k=1000, exact_fold=True).collect()}
+    assert set(assoc) == set(exact)
+    for pair, ra in exact.items():
+        assert assoc[pair] == pytest.approx(ra, rel=1e-12)
 
 
 def test_link_prediction_topk_order_and_anti_join(spark):
