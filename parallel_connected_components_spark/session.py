@@ -56,12 +56,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # 0.5 GB/core at local[32] — the sandbox analog of a normally
-        # provisioned executor. The old 8g default (0.25 GB/core, thinner
-        # than any production layout) made the triangle family's
+        # 0.5 GB/core — the sandbox analog of a normally provisioned
+        # executor. The old 8g flat default (0.25 GB/core at local[32],
+        # thinner than any production layout) made the triangle family's
         # shuffle-hash builds fail at 18M edges: round-5 truss peel OOM'd
         # at 8g, clean at 16g (BENCH/BASELINE.md structural-family notes).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Round 6 (r5 advisor): sized to the requested core count instead
+        # of a flat 16g, so a small-core host isn't asked for a JVM it
+        # cannot launch; floor 4g, SPARK_GRAFT_DRIVER_MEM still overrides.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{max(4, (n + 1) // 2)}g"),
+        )
         .config("spark.ui.enabled", "false")
         # The iteration runner reads cumulative shuffle bytes from the
         # app-status store (plans/runner.py:ShuffleMeter). Round 4 set
