@@ -214,21 +214,27 @@ def _scc_impl(
             # A color root r is the MINIMUM of its class (color(v) = r
             # means r ⇝ v, and v ⇝ v gives r ≤ v), so the backward sweep
             # is min-label propagation again — over the REVERSED
-            # same-color edges. The dst-side color join runs LAST so the
-            # reversed table comes out hash-partitioned on its new src;
-            # persisting that (partitioning-preserving) lets the mark LP
-            # run assume_pinned with no further exchange.
+            # same-color edges, built with shuffle-hash color joins (no
+            # sort-merge sorts) and pinned on its reversed src
+            # explicitly: the crosswise rename (dst→src, src→dst)
+            # defeats alias-aware partitioning propagation, so without
+            # the repartition the mark LP re-exchanged the cached table
+            # EVERY iteration (caught in plans/r06 — the explicit pin
+            # pays that exchange once).
             cs = color.select(
                 F.col("vertex").alias("src"), F.col("color").alias("_c1")
             ).hint("shuffle_hash")
             cd = color.select(
                 F.col("vertex").alias("dst"), F.col("color").alias("_c2")
             ).hint("shuffle_hash")
+            n_part = spark.sparkContext.defaultParallelism
             ec_rev = (
                 rem_e.join(cs, "src")
                 .join(cd, "dst")
                 .filter(F.col("_c1") == F.col("_c2"))
                 .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                .repartition(n_part, "src")
+                .sortWithinPartitions("src", "dst")
                 .persist()
             )
             labelsb, bw_runner = cc_label_propagation(
