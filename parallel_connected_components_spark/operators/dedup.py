@@ -54,20 +54,29 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 # MinHash signatures + LSH banding
 # --------------------------------------------------------------------------
 
-def _shingle_values(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, x): distinct shingle hash values reduced into the 31-bit
-    field the permutations operate in. Words are materialized as a column
-    BEFORE the shingle lambda — HOF lambdas re-evaluate inline child
-    expressions per element (~25x measured on the tokenizer chain)."""
+def _shingle_values(
+    docs: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = True
+) -> DataFrame:
+    """(id, x): shingle hash values reduced into the 31-bit field the
+    permutations operate in. Words are materialized as a column BEFORE
+    the shingle lambda — HOF lambdas re-evaluate inline child
+    expressions per element (~25x measured on the tokenizer chain).
+
+    ``distinct=False`` (round 6) skips the per-(id, x) dedup exchange for
+    consumers whose aggregation is duplicate-insensitive — the MinHash
+    MIN folds see the same minimum over a multiset as over its set, so
+    the signature path saves a full shuffle of the shingle stream
+    (bit-identical signatures; the Jaccard path keeps the dedup — its
+    counts are set semantics)."""
     words = docs.select(
         F.col(id_col).alias("_id"),
         words_col(normalized_text_col(text_col)).alias("_w"),
     )
-    return (
+    vals = (
         words.select("_id", F.explode(shingles_from_words(F.col("_w"), n)).alias("sh"))
         .select("_id", F.pmod(portable_hash64_col(F.col("sh")), F.lit(MERSENNE_31)).alias("x"))
-        .dropDuplicates(["_id", "x"])
     )
+    return vals.dropDuplicates(["_id", "x"]) if distinct else vals
 
 
 def minhash_signatures(
@@ -81,7 +90,9 @@ def minhash_signatures(
     """(id, sig array<long> of length num_perm). One groupBy with
     num_perm MIN aggregates — partial aggregation makes this a single
     shuffle of num_perm longs per document regardless of document size."""
-    sv = _shingle_values(docs, id_col, text_col, shingle_n)
+    # distinct=False: MIN over a multiset equals MIN over its set, so the
+    # signature path skips the per-(id, x) dedup exchange entirely
+    sv = _shingle_values(docs, id_col, text_col, shingle_n, distinct=False)
     params = minhash_params(num_perm, seed)
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"h{i}")
