@@ -212,53 +212,53 @@ def _scc_impl(
 
             # ---- 3. backward mark from the color roots ----------------
             # A color root r is the MINIMUM of its class (color(v) = r
-            # means r ⇝ v, and v ⇝ v gives r ≤ v), so the backward sweep
-            # is min-label propagation again — over the REVERSED
-            # same-color edges, built with shuffle-hash color joins (no
-            # sort-merge sorts) and pinned on its reversed src
-            # explicitly: the crosswise rename (dst→src, src→dst)
-            # defeats alias-aware partitioning propagation, so without
-            # the repartition the mark LP re-exchanged the cached table
-            # EVERY iteration (caught in plans/r06 — the explicit pin
-            # pays that exchange once).
+            # means r ⇝ v, and v ⇝ v gives r ≤ v), and v ∈ SCC(r) iff v
+            # reaches r inside the class — i.e. the marked set is the
+            # multi-source BACKWARD reachability cone of the roots over
+            # the same-color edges. Round 6 runs it as bfs_hops (sources
+            # = the roots, edges = the reversed same-color table) instead
+            # of a second min-label propagation: same round count (class
+            # eccentricity) but each vertex enters the frontier at most
+            # ONCE, so total mark messages are |V_class| instead of the
+            # LP's re-sends as smaller labels cascade. The color joins
+            # stay shuffle-hash (no sort-merge sorts); bfs_hops pins the
+            # reversed table itself (pin_dedup_edges — one exchange).
             cs = color.select(
                 F.col("vertex").alias("src"), F.col("color").alias("_c1")
             ).hint("shuffle_hash")
             cd = color.select(
                 F.col("vertex").alias("dst"), F.col("color").alias("_c2")
             ).hint("shuffle_hash")
-            n_part = spark.sparkContext.defaultParallelism
             ec_rev = (
                 rem_e.join(cs, "src")
                 .join(cd, "dst")
                 .filter(F.col("_c1") == F.col("_c2"))
                 .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-                .repartition(n_part, "src")
-                .sortWithinPartitions("src", "dst")
-                .persist()
             )
-            labelsb, bw_runner = cc_label_propagation(
-                spark, ec_rev, vertices=rem_ids, frontier=True,
-                max_iterations=max_iterations, assume_pinned=True,
+            roots = color.filter(F.col("vertex") == F.col("color")).select(
+                F.col("vertex").alias("id")
+            )
+            from .bfs import bfs_hops
+
+            dists, bw_runner = bfs_hops(
+                spark, ec_rev, roots, max_hops=None, max_iterations=max_iterations
             )
             info["mark_steps"] += bw_runner.num_iterations
             steps += bw_runner.num_iterations
 
             # ---- 4. extract + shrink ----------------------------------
-            # v ∈ SCC(root of its class) iff its backward min label
-            # equals its color; one fused join emits (vertex, label).
+            # the reached set IS the union of the roots' SCCs; one join
+            # attaches the class label (= the root id).
             obs = Observation()
             sel = (
-                labelsb.withColumnRenamed("label", "_lb")
+                dists.select("vertex")
                 .join(color.hint("shuffle_hash"), "vertex")
-                .filter(F.col("_lb") == F.col("color"))
                 .select("vertex", F.col("color").alias("label"))
                 .observe(obs, F.count(F.lit(1)).alias("c"))
                 .localCheckpoint(eager=True)
             )
             done.append(sel)
             n_marked = obs.get["c"] or 0
-            ec_rev.unpersist()
             if n_marked >= n_v:  # everything extracted — no remainder
                 n_v = 0
                 break
