@@ -20,6 +20,8 @@ max_by with a packed (count, -label) ordering key, avoiding a window sort.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..plans.runner import FixpointRunner
@@ -65,11 +67,28 @@ def label_propagation_communities(
             .agg(F.count("*").alias("cnt"))
         )
         # argmax by (cnt, -label): most frequent, smallest label on ties.
+        # The ordering key is packed into ONE decimal(38,0):
+        #   key = cnt·2^64 + (2^63−1 − label)
+        # (cnt·2^64 ≤ 2^95 « 10^38 exact; the label offset spans (0, 2^64)
+        # so the lexicographic (cnt, −label) order is preserved exactly,
+        # for EVERY int64 label). Round 6, two reasons: a struct ordering
+        # key forces the argmax into a SortAggregate — a full sort of the
+        # (vertex, label, cnt) stream inside every iteration — while the
+        # decimal key plans as a plain HashAggregate; and struct's
+        # −label ANSI-overflows on a label of −2^63, which a 64-bit
+        # hashed vertex id can genuinely be (regression test:
+        # test_lpa_long_min_label).
         # shuffle_hash hint on the join-back: without it AQE flips the
         # left join to a broadcast once `best` looks small — a serial
         # driver-side build every iteration (see cc_label_propagation)
+        key = F.col("cnt").cast("decimal(38,0)") * F.lit(Decimal(2**64)).cast(
+            "decimal(38,0)"
+        ) + (
+            F.lit(Decimal(2**63 - 1)).cast("decimal(38,0)")
+            - F.col("label").cast("decimal(38,0)")
+        )
         best = counts.groupBy("vertex").agg(
-            F.max_by("label", F.struct(F.col("cnt"), -F.col("label"))).alias("new_label")
+            F.max_by("label", key).alias("new_label")
         ).hint("shuffle_hash")
         obs = Observation()
         obs_holder[it] = obs

@@ -97,6 +97,19 @@ def test_lpa_two_cliques(spark):
     assert got[0] != got[10]
 
 
+def test_lpa_long_min_label(spark):
+    # a 64-bit hashed vertex id can be exactly -2^63; the pre-round-6
+    # struct (cnt, -label) argmax ordering ANSI-overflowed on it — the
+    # decimal-packed key must order it correctly instead (smallest label
+    # wins ties, so the triangle converges to the minimum id)
+    lo = -(2**63)
+    edges = spark.createDataFrame([(lo, 1), (1, 2), (2, lo)], "src long, dst long")
+    labels, _ = label_propagation_communities(spark, symmetrize(edges), max_iterations=6)
+    got = labels_dict(labels)
+    assert set(got) == {lo, 1, 2}
+    assert all(v == lo for v in got.values())
+
+
 def test_mtx_roundtrip(spark, golden_edges, tmp_path):
     path = os.path.join(tmp_path, "g.mtx")
     write_mtx(canonicalize(golden_edges), 6, path)
